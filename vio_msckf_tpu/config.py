@@ -91,7 +91,7 @@ class FilterConfig:
     # Fixed-shape capacities (new: TPU design).
     max_features: int = 160        # feature-map slots (map_server capacity)
     imu_per_frame: int = 32        # padded IMU samples per frame bundle
-    chol_jitter: float = 1e-9      # rel. jitter for information-form chol
+    chol_jitter: float = 1e-6      # trace-relative jitter for info-form chol
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,206 @@
+"""The frame-clocked MSCKF step — one jit for the whole estimator.
+
+This is the TPU-native inversion of the reference's event-driven
+feature_callback (MSCKF/msckf.py:180-233): a pure function
+``step(state, fmap, frame) -> (state, fmap, output)`` where `frame` bundles
+the stereo feature measurements and the padded IMU slice between images.
+Whole sequences run under `lax.scan`; replicas vmap/shard over devices.
+
+Pipeline per frame (matching the callback order at msckf.py:196-233):
+  propagate -> augment -> add observations -> remove lost features
+  -> prune clone window -> publish -> online reset.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vio_msckf_tpu.math import from_two_vectors, quat_to_rot
+from vio_msckf_tpu.config import VIOConfig
+from vio_msckf_tpu.filter.state import (
+    FilterState,
+    FeatureMap,
+    MsckfParams,
+    init_filter_state,
+    init_feature_map,
+    make_params,
+    reset_cov,
+)
+from vio_msckf_tpu.filter.propagation import propagate
+from vio_msckf_tpu.filter.augmentation import augment
+from vio_msckf_tpu.filter.features import add_observations, clear_features
+from vio_msckf_tpu.filter.update import accumulate_update, information_update
+from vio_msckf_tpu.filter.triangulation import (
+    triangulate_all,
+    check_motion_one,
+)
+from vio_msckf_tpu.filter.pruning import maybe_prune
+
+
+@struct.dataclass
+class FilterOutput:
+    """Per-frame odometry output (reference publish, msckf.py:888-908)."""
+
+    q: jnp.ndarray          # (4,) world->IMU attitude (JPL)
+    p: jnp.ndarray          # (3,) IMU position in world
+    v: jnp.ndarray          # (3,) velocity in world
+    cam0_R_w_c: jnp.ndarray  # (3,3) world->cam0
+    cam0_p: jnp.ndarray     # (3,) cam0 position in world
+    position_std: jnp.ndarray  # (3,) sqrt of position covariance diagonal
+    did_reset: jnp.ndarray  # () bool online reset fired this frame
+
+
+def initialize_gravity_and_bias(imu_gyro, imu_acc, gravity_acc=9.81):
+    """Static initialization from the first IMU samples
+    (msckf.py:235-258). Host-side numpy; returns (q0, bg, gravity)."""
+    imu_gyro = np.asarray(imu_gyro, np.float64)
+    imu_acc = np.asarray(imu_acc, np.float64)
+    bg = imu_gyro.mean(axis=0)
+    gravity_imu = imu_acc.mean(axis=0)
+    gnorm = np.linalg.norm(gravity_imu)
+    gravity = np.array([0.0, 0.0, -gnorm])
+    q0 = np.asarray(from_two_vectors(-gravity, gravity_imu))
+    return q0, bg, gravity
+
+
+def remove_lost_features(state, fmap, params):
+    """Triangulate + batch-update the features that lost track this frame
+    (msckf.py:616-689), then drop them from the map."""
+    cfg = params.config
+    cur_slot = state.n_clones - 1
+    observed_now = fmap.obs_valid[:, cur_slot] & (cur_slot >= 0)
+    lost = fmap.valid & ~observed_now
+
+    n_obs = jnp.sum(fmap.obs_valid, axis=1)
+    drop_few = lost & (n_obs < 3)              # msckf.py:627-629
+    candidates = lost & ~drop_few
+
+    positions, tri_ok = triangulate_all(
+        fmap.obs, fmap.obs_valid, state.clone_q, state.clone_p,
+        params.R_cam0_cam1, params.t_cam0_cam1, cfg.triangulation,
+    )
+    motion_ok = jax.vmap(
+        lambda o, ov: check_motion_one(
+            o, ov, state.clone_q, state.clone_p,
+            cfg.triangulation.translation_threshold,
+        )
+    )(fmap.obs, fmap.obs_valid)
+
+    need_tri = candidates & ~fmap.initialized
+    newly_ok = need_tri & motion_ok & tri_ok
+    process = candidates & (fmap.initialized | newly_ok)
+    use_pos = jnp.where(fmap.initialized[:, None], fmap.position, positions)
+
+    M, m, _ = accumulate_update(
+        state, params,
+        positions=use_pos,
+        obs=fmap.obs,
+        use_masks=fmap.obs_valid,
+        process_mask=process,
+        dofs=n_obs - 1,        # dof = #observing clones - 1 (msckf.py:671)
+    )
+    state = information_update(state, M, m, params)
+
+    # Every lost feature leaves the map (msckf.py:648-650, 687-689).
+    fmap = clear_features(fmap, lost)
+    return state, fmap
+
+
+def online_reset(state, fmap, params):
+    """Drop clones/map and reset the covariance when position sigma
+    explodes (msckf.py:859-886)."""
+    cfg = params.config
+    threshold = cfg.filter.position_std_threshold
+    pos_var = jnp.diagonal(state.P)[12:15]
+    trigger = (threshold > 0) & (
+        jnp.sqrt(jnp.max(pos_var)) >= threshold
+    )
+
+    def do_reset(s, f):
+        N = cfg.filter.max_cam_state_size
+        s = s.replace(
+            clone_valid=jnp.zeros(N, bool),
+            n_clones=jnp.zeros((), jnp.int32),
+            P=reset_cov(params, s.P.dtype),
+        )
+        f = clear_features(f, jnp.ones_like(f.valid))
+        return s, f
+
+    state, fmap = jax.lax.cond(
+        trigger, do_reset, lambda s, f: (s, f), state, fmap
+    )
+    return state, fmap, trigger
+
+
+def publish(state):
+    """Odometry output (msckf.py:888-908; T_imu_body = I per config)."""
+    R_w_i = quat_to_rot(state.q)
+    R_w_c = state.R_imu_cam0 @ R_w_i
+    cam0_p = state.p + R_w_i.T @ state.t_cam0_imu
+    pos_var = jnp.diagonal(state.P)[12:15]
+    return FilterOutput(
+        q=state.q,
+        p=state.p,
+        v=state.v,
+        cam0_R_w_c=R_w_c,
+        cam0_p=cam0_p,
+        position_std=jnp.sqrt(jnp.maximum(pos_var, 0.0)),
+        did_reset=jnp.asarray(False),
+    )
+
+
+class MSCKF:
+    """Thin functional wrapper bundling config-derived constants.
+
+    Usage:
+        kf = MSCKF(config)
+        state, fmap = kf.init(q0, bg0, gravity)
+        step = jax.jit(kf.step)
+        (state, fmap), out = step((state, fmap), frame)
+    """
+
+    def __init__(self, config: VIOConfig, dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        self.params = make_params(config, dtype)
+
+    def init(self, q0=None, bg0=None, gravity=None):
+        state = init_filter_state(
+            self.config, self.params, q0, bg0, gravity, self.dtype
+        )
+        fmap = init_feature_map(self.config, self.dtype)
+        return state, fmap
+
+    def step(self, carry, frame):
+        """One frame. `frame` is a dict with:
+          imu_gyro (M,3), imu_acc (M,3), imu_dt (M,), imu_valid (M,),
+          feat_ids (K,) int32, feat_obs (K,4), feat_valid (K,) bool.
+        """
+        state, fmap = carry
+        params = self.params
+
+        state = propagate(
+            state, params,
+            frame["imu_gyro"], frame["imu_acc"],
+            frame["imu_dt"], frame["imu_valid"],
+        )
+        state = augment(state)
+        fmap, tracking_rate = add_observations(
+            fmap,
+            frame["feat_ids"], frame["feat_obs"], frame["feat_valid"],
+            cur_slot=state.n_clones - 1,
+        )
+        state = state.replace(tracking_rate=tracking_rate)
+
+        state, fmap = remove_lost_features(state, fmap, params)
+        state, fmap = maybe_prune(state, fmap, params)
+
+        out = publish(state)
+        state, fmap, did_reset = online_reset(state, fmap, params)
+        out = out.replace(did_reset=did_reset)
+        return (state, fmap), out
+
+    def run_sequence(self, carry, frames):
+        """lax.scan the step over a stacked frame pytree."""
+        return jax.lax.scan(self.step, carry, frames)
