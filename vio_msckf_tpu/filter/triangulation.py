@@ -53,7 +53,7 @@ def _view_poses(clone_q, clone_p, obs_valid, R_c0c1, t_c0c1):
     # pose.inverse() * T_c0_w : first cam0 frame -> this view (feature.py:209-213)
     def rel(Rv, tv):
         Rr = jnp.einsum("nji,jk->nik", Rv, R_a)  # Rv^T @ R_a
-        tr = jnp.einsum("nji,j->ni", Rv, t_a - tv)
+        tr = jnp.einsum("nji,nj->ni", Rv, t_a[None, :] - tv)
         return Rr, tr
 
     R0r, t0r = rel(R_c0_w, t_c0_w)
