@@ -1,0 +1,108 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: replica-sharded
+multi-sequence execution and the psum feature-block update reduction must
+reproduce the single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vio_msckf_tpu.config import euroc_config
+from vio_msckf_tpu.data.simulator import (
+    SimConfig, simulate_sequence, bundle_frames,
+)
+from vio_msckf_tpu.filter.msckf import MSCKF
+from vio_msckf_tpu.parallel import (
+    make_mesh,
+    make_multichip_filter_step,
+    shard_batch,
+    tiny_config,
+)
+
+
+def _make_batch(cfg, seeds):
+    """Independent simulated sequences stacked on a leading axis."""
+    carries, frame_list = [], []
+    kf = MSCKF(cfg)
+    n_min = None
+    for s in seeds:
+        sim = SimConfig(duration=6.0, seed=s)
+        seq = simulate_sequence(cfg, sim)
+        frames, init, first = bundle_frames(seq, cfg)
+        carries.append(kf.init(init["q0"], init["bg0"], init["gravity"]))
+        frames = {k: v for k, v in frames.items() if k != "timestamp"}
+        frame_list.append(frames)
+        n = len(frames["imu_dt"])
+        n_min = n if n_min is None else min(n_min, n)
+    carry_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *carries
+    )
+    frames_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([x[:n_min] for x in xs]), *frame_list
+    )
+    return carry_b, frames_b, n_min
+
+
+@pytest.mark.parametrize("use_block", [False, True])
+def test_sharded_step_matches_single_device(use_block):
+    assert len(jax.devices()) >= 8
+    cfg = euroc_config()
+    mesh = make_mesh(n_replica=2, n_block=2 if use_block else 1)
+    step, kf = make_multichip_filter_step(cfg, mesh, use_block=use_block)
+
+    carry_b, frames_b, n = _make_batch(cfg, seeds=[1, 2])
+    carry_b = shard_batch(mesh, carry_b)
+
+    # Reference: unsharded vmap on one device.
+    ref_step = jax.jit(jax.vmap(MSCKF(cfg).step))
+    carry_ref = jax.tree_util.tree_map(jnp.array, carry_b)
+
+    n_run = min(n, 30)
+    outs_s, outs_r = [], []
+    for k in range(n_run):
+        frame = jax.tree_util.tree_map(lambda v: v[:, k], frames_b)
+        carry_b, out_s = step(carry_b, shard_batch(mesh, frame))
+        carry_ref, out_r = ref_step(carry_ref, frame)
+        outs_s.append(np.asarray(out_s.p))
+        outs_r.append(np.asarray(out_r.p))
+    outs_s = np.asarray(outs_s)
+    outs_r = np.asarray(outs_r)
+    assert np.isfinite(outs_s).all()
+    # Same math, different device layout: tolerances cover f32 reduction
+    # order in the psum'd information accumulators.
+    np.testing.assert_allclose(outs_s, outs_r, atol=5e-3)
+
+
+def test_block_axis_divides_feature_table():
+    cfg = euroc_config()
+    assert cfg.filter.max_features % 2 == 0
+    assert cfg.filter.max_features % 4 == 0
+
+
+def test_tiny_engine_dryrun_compiles():
+    """The driver's dryrun path: full engine step under a (replica, block)
+    mesh on tiny shapes — compile and execute one step."""
+    from vio_msckf_tpu.parallel import make_multichip_engine_step
+
+    cfg = tiny_config()
+    mesh = make_mesh(n_replica=2, n_block=2)
+    step, eng = make_multichip_engine_step(cfg, mesh, use_block=True)
+
+    B = 4
+    carries = [eng.init() for _ in range(B)]
+    carry_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
+    rng = np.random.default_rng(0)
+    W, H = cfg.cam0.resolution
+    M = cfg.filter.imu_per_frame
+    frame = dict(
+        cam0_img=jnp.asarray(rng.uniform(0, 255, (B, H, W)), jnp.float32),
+        cam1_img=jnp.asarray(rng.uniform(0, 255, (B, H, W)), jnp.float32),
+        imu_gyro=jnp.zeros((B, M, 3)),
+        imu_acc=jnp.tile(jnp.asarray([0.0, 0.0, 9.81]), (B, M, 1)),
+        imu_dt=jnp.full((B, M), 0.005),
+        imu_valid=jnp.ones((B, M), bool),
+    )
+    carry_b = shard_batch(mesh, carry_b)
+    frame = shard_batch(mesh, frame)
+    carry_b, out = step(carry_b, frame)
+    assert np.isfinite(np.asarray(out.p)).all()

@@ -64,7 +64,7 @@ def initialize_gravity_and_bias(imu_gyro, imu_acc, gravity_acc=9.81):
     return q0, bg, gravity
 
 
-def remove_lost_features(state, fmap, params):
+def remove_lost_features(state, fmap, params, axis_name=None):
     """Triangulate + batch-update the features that lost track this frame
     (msckf.py:616-689), then drop them from the map."""
     cfg = params.config
@@ -79,6 +79,7 @@ def remove_lost_features(state, fmap, params):
     positions, tri_ok = triangulate_all(
         fmap.obs, fmap.obs_valid, state.clone_q, state.clone_p,
         params.R_cam0_cam1, params.t_cam0_cam1, cfg.triangulation,
+        axis_name=axis_name,
     )
     motion_ok = jax.vmap(
         lambda o, ov: check_motion_one(
@@ -99,6 +100,7 @@ def remove_lost_features(state, fmap, params):
         use_masks=fmap.obs_valid,
         process_mask=process,
         dofs=n_obs - 1,        # dof = #observing clones - 1 (msckf.py:671)
+        axis_name=axis_name,
     )
     state = information_update(state, M, m, params)
 
@@ -160,10 +162,14 @@ class MSCKF:
         (state, fmap), out = step((state, fmap), frame)
     """
 
-    def __init__(self, config: VIOConfig, dtype=jnp.float32):
+    def __init__(self, config: VIOConfig, dtype=jnp.float32,
+                 block_axis=None):
         self.config = config
         self.dtype = dtype
         self.params = make_params(config, dtype)
+        # Mesh axis name for feature-block sharding (see parallel/): when
+        # set, the step must run under shard_map with this axis in scope.
+        self.block_axis = block_axis
 
     def init(self, q0=None, bg0=None, gravity=None):
         state = init_filter_state(
@@ -193,8 +199,12 @@ class MSCKF:
         )
         state = state.replace(tracking_rate=tracking_rate)
 
-        state, fmap = remove_lost_features(state, fmap, params)
-        state, fmap = maybe_prune(state, fmap, params)
+        state, fmap = remove_lost_features(
+            state, fmap, params, axis_name=self.block_axis
+        )
+        state, fmap = maybe_prune(
+            state, fmap, params, axis_name=self.block_axis
+        )
 
         out = publish(state)
         state, fmap, did_reset = online_reset(state, fmap, params)

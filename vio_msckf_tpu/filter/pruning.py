@@ -79,7 +79,8 @@ def _permute_cov(P, perm, new_active_mask):
 
 
 def prune_clones(
-    state: FilterState, fmap: FeatureMap, params: MsckfParams
+    state: FilterState, fmap: FeatureMap, params: MsckfParams,
+    axis_name=None,
 ):
     """One pruning pass (msckf.py:730-818). Call only when the window is
     full; `maybe_prune` wraps this in a lax.cond."""
@@ -98,6 +99,7 @@ def prune_clones(
     positions, tri_ok = triangulate_all(
         fmap.obs, fmap.obs_valid, state.clone_q, state.clone_p,
         params.R_cam0_cam1, params.t_cam0_cam1, cfg.triangulation,
+        axis_name=axis_name,
     )
     motion_ok = jax.vmap(
         lambda o, ov: check_motion_one(
@@ -118,6 +120,7 @@ def prune_clones(
         use_masks=involved,
         process_mask=process,
         dofs=n_involved,       # dof = #involved clones (msckf.py:789)
+        axis_name=axis_name,
     )
     state = information_update(state, M, m, params)
 
@@ -152,12 +155,13 @@ def prune_clones(
     return state, fmap
 
 
-def maybe_prune(state: FilterState, fmap: FeatureMap, params: MsckfParams):
+def maybe_prune(state: FilterState, fmap: FeatureMap, params: MsckfParams,
+                axis_name=None):
     """prune_cam_state_buffer gate (msckf.py:731-732)."""
     full = state.n_clones >= params.config.filter.max_cam_state_size
     return jax.lax.cond(
         full,
-        lambda s, f: prune_clones(s, f, params),
+        lambda s, f: prune_clones(s, f, params, axis_name=axis_name),
         lambda s, f: (s, f),
         state,
         fmap,

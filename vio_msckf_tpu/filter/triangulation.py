@@ -219,10 +219,26 @@ def check_motion_one(obs, obs_valid, clone_q, clone_p, threshold):
 
 
 def triangulate_all(fmap_obs, fmap_obs_valid, clone_q, clone_p, R_c0c1,
-                    t_c0c1, cfg: TriangulationConfig):
-    """vmap of `triangulate_one` over the feature axis."""
+                    t_c0c1, cfg: TriangulationConfig, axis_name=None):
+    """vmap of `triangulate_one` over the feature axis.
+
+    With `axis_name` set (under shard_map), each device solves its
+    F/n_block slice of the table and the (position, ok) results are
+    all-gathered back — the feature-block sharding of SURVEY.md section 2.4.
+    """
     fn = jax.vmap(
         lambda o, ov: triangulate_one(o, ov, clone_q, clone_p, R_c0c1,
                                       t_c0c1, cfg)
     )
-    return fn(fmap_obs, fmap_obs_valid)
+    if axis_name is None:
+        return fn(fmap_obs, fmap_obs_valid)
+    F = fmap_obs.shape[0]
+    nb = jax.lax.axis_size(axis_name)
+    bi = jax.lax.axis_index(axis_name)
+    Fl = F // nb
+    obs_l = jax.lax.dynamic_slice_in_dim(fmap_obs, bi * Fl, Fl, axis=0)
+    ov_l = jax.lax.dynamic_slice_in_dim(fmap_obs_valid, bi * Fl, Fl, axis=0)
+    p_l, ok_l = fn(obs_l, ov_l)
+    p = jax.lax.all_gather(p_l, axis_name).reshape(F, 3)
+    ok = jax.lax.all_gather(ok_l, axis_name).reshape(F)
+    return p, ok

@@ -223,21 +223,45 @@ def accumulate_update(
     use_masks,       # (F, N) clones each feature contributes
     process_mask,    # (F,) features eligible for the update
     dofs,            # (F,) chi-square dof per feature
+    axis_name=None,  # optional mesh axis to shard the feature dim over
 ):
     """Shared fan-in for remove_lost_features / prune_cam_state_buffer:
     per-feature systems -> gating -> row budget -> (M, m, include_mask).
 
     Budget rule mirrors msckf.py:676-679: feature j contributes iff the
     gated rows stacked before it total <= max_update_rows.
+
+    With `axis_name` set (under shard_map over a device mesh), each shard
+    builds the systems for its F/n_block slice of the feature table and the
+    information accumulators are reduced with `lax.psum` over ICI — the
+    distributed Schur/information reduction of SURVEY.md section 2.4. The
+    row-budget prefix sum needs the *global* feature order, so the tiny
+    per-feature (gamma, rows) vectors are all-gathered first; the result is
+    bitwise-equivalent to the unsharded path up to float addition order.
     """
     P = state.P
+    F = positions.shape[0]
+
+    if axis_name is not None:
+        nb = jax.lax.axis_size(axis_name)
+        bi = jax.lax.axis_index(axis_name)
+        Fl = F // nb
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bi * Fl, Fl, axis=0)
+        positions_l, obs_l, use_l = sl(positions), sl(obs), sl(use_masks)
+    else:
+        positions_l, obs_l, use_l = positions, obs, use_masks
 
     def one(p_w, ob, um):
         H, Hp, r, rp, U = feature_system(p_w, ob, um, state, params)
         gamma = feature_gamma(H, rp, U, P, params.observation_noise)
         return Hp, rp, gamma
 
-    Hps, rps, gammas = jax.vmap(one)(positions, obs, use_masks)
+    Hps, rps, gammas_l = jax.vmap(one)(positions_l, obs_l, use_l)
+
+    if axis_name is not None:
+        gammas = jax.lax.all_gather(gammas_l, axis_name).reshape(F)
+    else:
+        gammas = gammas_l
 
     thresholds = params.chi2_table[jnp.clip(dofs, 1, 99)]
     gate = process_mask & (gammas < thresholds)
@@ -247,10 +271,22 @@ def accumulate_update(
     cum_before = jnp.cumsum(rows) - rows
     include = gate & (cum_before <= params.config.filter.max_update_rows)
 
+    if axis_name is not None:
+        nb = jax.lax.axis_size(axis_name)
+        bi = jax.lax.axis_index(axis_name)
+        include_l = jax.lax.dynamic_slice_in_dim(
+            include, bi * (F // nb), F // nb, axis=0
+        )
+    else:
+        include_l = include
+
     # One big MXU contraction over all (feature, row) pairs; include-mask
     # weights are 0/1 so this is exactly sum_j H~_j^T H~_j over included j.
-    w = include.astype(P.dtype)
+    w = include_l.astype(P.dtype)
     Hw = Hps * w[:, None, None]
     M = jnp.einsum("fri,frj->ij", Hw, Hps)
     m = jnp.einsum("fri,fr->i", Hw, rps)
+    if axis_name is not None:
+        M = jax.lax.psum(M, axis_name)
+        m = jax.lax.psum(m, axis_name)
     return M, m, include
