@@ -33,7 +33,7 @@ def main():
     from vio_msckf_tpu.data.simulator import (
         SimConfig, simulate_sequence, bundle_frames,
     )
-    from vio_msckf_tpu.data.render import make_renderer
+    from vio_msckf_tpu.data.render import render_sequence
     from vio_msckf_tpu.engine import VIOEngine
     from vio_msckf_tpu.utils.metrics import ate_rmse
 
@@ -50,17 +50,10 @@ def main():
     log(f"sequence: {n_frames} frames")
 
     # --- pre-render the stereo imagery on device (excluded from timing) ---
-    render = make_renderer(cfg, radius=14.0, seed=7)
     t0 = time.time()
-    imgs0, imgs1 = [], []
-    for k in range(n_frames):
-        R_w_i = jnp.asarray(seq["gt_R_i_w"][first + k].T, jnp.float32)
-        p = jnp.asarray(seq["gt_p"][first + k], jnp.float32)
-        i0, i1 = render(R_w_i, p)
-        imgs0.append(i0)
-        imgs1.append(i1)
-    cam0 = jnp.stack(imgs0)
-    cam1 = jnp.stack(imgs1)
+    R_stack = seq["gt_R_i_w"][first:first + n_frames].transpose(0, 2, 1)
+    p_stack = seq["gt_p"][first:first + n_frames]
+    cam0, cam1 = render_sequence(cfg, R_stack, p_stack, radius=14.0, seed=7)
     jax.block_until_ready(cam1)
     log(f"rendered {n_frames} stereo frames in {time.time()-t0:.1f}s")
 

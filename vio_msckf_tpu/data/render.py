@@ -43,18 +43,24 @@ def make_texture_basis(n_waves=24, radius=14.0, seed=0, min_wavelength_px=7.0,
 
 def pixel_ray_lut(cam):
     """(H, W, 3) unit rays in the camera frame for every pixel, through the
-    inverse distortion model."""
+    inverse distortion model. Jitted as one program — unjitted this is
+    hundreds of eager dispatches, which crawls on a remote-tunnel backend."""
     W, H = cam.resolution
     u, v = np.meshgrid(np.arange(W), np.arange(H))
     pix = jnp.asarray(
         np.stack([u, v], axis=-1).reshape(-1, 2), jnp.float32
     )
-    xy = undistort_points(
-        pix, cam.intrinsics, cam.distortion_model, cam.distortion_coeffs
-    )
-    rays = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], axis=1)
-    rays = rays / jnp.linalg.norm(rays, axis=1, keepdims=True)
-    return rays.reshape(H, W, 3)
+
+    @jax.jit
+    def build(pix):
+        xy = undistort_points(
+            pix, cam.intrinsics, cam.distortion_model, cam.distortion_coeffs
+        )
+        rays = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], axis=1)
+        rays = rays / jnp.linalg.norm(rays, axis=1, keepdims=True)
+        return rays.reshape(H, W, 3)
+
+    return build(pix)
 
 
 def render_view(rays_lut, R_c_w, p_cam_w, texture, radius=14.0):
@@ -106,3 +112,20 @@ def make_renderer(config: VIOConfig, radius=14.0, seed=0):
         return img0, img1
 
     return render
+
+
+def render_sequence(config: VIOConfig, R_w_i_stack, p_stack, radius=14.0,
+                    seed=0, chunk=64):
+    """Render a whole pose sequence as chunked vmapped jits (one dispatch
+    per chunk, images stay on device). Returns (cam0 (N,H,W), cam1)."""
+    render = make_renderer(config, radius=radius, seed=seed)
+    vrender = jax.jit(jax.vmap(render))
+    R = jnp.asarray(R_w_i_stack, jnp.float32)
+    p = jnp.asarray(p_stack, jnp.float32)
+    outs0, outs1 = [], []
+    n = R.shape[0]
+    for s in range(0, n, chunk):
+        i0, i1 = vrender(R[s:s + chunk], p[s:s + chunk])
+        outs0.append(i0)
+        outs1.append(i1)
+    return jnp.concatenate(outs0), jnp.concatenate(outs1)

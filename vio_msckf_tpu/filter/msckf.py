@@ -53,15 +53,37 @@ class FilterOutput:
 
 def initialize_gravity_and_bias(imu_gyro, imu_acc, gravity_acc=9.81):
     """Static initialization from the first IMU samples
-    (msckf.py:235-258). Host-side numpy; returns (q0, bg, gravity)."""
+    (msckf.py:235-258). Pure host-side numpy (no device dispatch — eager
+    ops over a remote TPU tunnel cost ~0.4 s of compile each); returns
+    (q0, bg, gravity)."""
     imu_gyro = np.asarray(imu_gyro, np.float64)
     imu_acc = np.asarray(imu_acc, np.float64)
     bg = imu_gyro.mean(axis=0)
     gravity_imu = imu_acc.mean(axis=0)
     gnorm = np.linalg.norm(gravity_imu)
     gravity = np.array([0.0, 0.0, -gnorm])
-    q0 = np.asarray(from_two_vectors(-gravity, gravity_imu))
+    q0 = _from_two_vectors_np(-gravity, gravity_imu)
     return q0, bg, gravity
+
+
+def _from_two_vectors_np(v0, v1):
+    """numpy twin of math.quaternion.from_two_vectors (utils.py:104-128)."""
+    v0 = v0 / np.linalg.norm(v0)
+    v1 = v1 / np.linalg.norm(v1)
+    d = float(v0 @ v1)
+    if d < -0.999999:
+        axis = np.cross([1.0, 0.0, 0.0], v0)
+        if np.linalg.norm(axis) < 1e-6:
+            axis = np.cross([0.0, 1.0, 0.0], v0)
+        q = np.array([*axis, 0.0])
+    elif d > 0.999999:
+        q = np.array([0.0, 0.0, 0.0, 1.0])
+    else:
+        s = np.sqrt((1.0 + d) * 2.0)
+        axis = np.cross(v0, v1)
+        q = np.array([*(axis / s), 0.5 * s])
+    q = q / np.linalg.norm(q)
+    return np.concatenate([-q[:3], q[3:]])  # Hamilton -> JPL conjugate
 
 
 def remove_lost_features(state, fmap, params, axis_name=None):
