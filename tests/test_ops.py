@@ -142,7 +142,7 @@ def test_lk_recovers_translation(rng):
     )
     pyr0 = build_pyramid(jnp.asarray(img), 3)
     pyr1 = build_pyramid(jnp.asarray(nxt), 3)
-    tracked, status = pyramidal_lk(
+    tracked, status, _ = pyramidal_lk(
         tuple(pyr0), tuple(pyr1), jnp.asarray(pts), jnp.asarray(pts)
     )
     tracked, status = np.asarray(tracked), np.asarray(status)
@@ -156,10 +156,10 @@ def test_lk_flags_out_of_frame(rng):
     pyr = tuple(build_pyramid(jnp.asarray(img), 3))
     pts = np.array([[5.0, 5.0]], np.float32)
     init = np.array([[-30.0, -30.0]], np.float32)
-    _, status = pyramidal_lk(pyr, pyr, jnp.asarray(pts), jnp.asarray(init))
+    _, status, _ = pyramidal_lk(pyr, pyr, jnp.asarray(pts), jnp.asarray(init))
     # Tracking from a valid point with identity images should succeed even
     # from a bad init (it converges back) OR be flagged; never NaN.
-    tracked, _ = pyramidal_lk(pyr, pyr, jnp.asarray(pts), jnp.asarray(pts))
+    tracked, _, _ = pyramidal_lk(pyr, pyr, jnp.asarray(pts), jnp.asarray(pts))
     assert np.isfinite(np.asarray(tracked)).all()
 
 

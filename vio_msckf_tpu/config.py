@@ -47,6 +47,12 @@ class FrontendConfig:
     # Stereo-match gates (reference image.py:585-598).
     stereo_backward_err_px: float = 3.0
     stereo_disparity_max_px: float = 20.0
+    # Forward-backward consistency gate on the TEMPORAL track. The
+    # reference has no equivalent (its planned 2-pt RANSAC is a stub,
+    # image.py:292-293) and leans on cv2 LK's internal quality checks;
+    # our LK is gated explicitly instead — round-trip prev->curr->prev
+    # must land within this many pixels.
+    temporal_backward_err_px: float = 3.0
     # Mask half-width for suppressing re-detection near existing features
     # (7x7 box, reference image.py:330).
     mask_radius: int = 3
@@ -91,7 +97,6 @@ class FilterConfig:
     # Fixed-shape capacities (new: TPU design).
     max_features: int = 160        # feature-map slots (map_server capacity)
     imu_per_frame: int = 32        # padded IMU samples per frame bundle
-    chol_jitter: float = 1e-6      # trace-relative jitter for info-form chol
 
 
 @dataclass(frozen=True)

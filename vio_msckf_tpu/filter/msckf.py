@@ -113,7 +113,16 @@ def remove_lost_features(state, fmap, params, axis_name=None):
     need_tri = candidates & ~fmap.initialized
     newly_ok = need_tri & motion_ok & tri_ok
     process = candidates & (fmap.initialized | newly_ok)
-    use_pos = jnp.where(fmap.initialized[:, None], fmap.position, positions)
+    # Always prefer the FRESH triangulation when the solver converged.
+    # The reference keeps the first stored estimate once is_initialized
+    # (feature.py:292-294) — but a position triangulated many frames ago
+    # under low parallax injects the same error into every later update,
+    # and those correlated residuals compound into divergence (observed on
+    # slow trajectories). Re-linearizing against the current solution each
+    # time keeps the updates consistent; the feature position is not part
+    # of the state, so this is a strictly valid EKF re-linearization.
+    fresh = tri_ok
+    use_pos = jnp.where(fresh[:, None], positions, fmap.position)
 
     M, m, _ = accumulate_update(
         state, params,
@@ -135,11 +144,25 @@ def online_reset(state, fmap, params):
     """Drop clones/map and reset the covariance when position sigma
     explodes (msckf.py:859-886)."""
     cfg = params.config
+    # Calibration defaults for scrubbing NaN extrinsics (state.py:152-160).
+    _T_c0_i = np.linalg.inv(cfg.cam0.T_imu_cam_np)
+    _ext_R = _T_c0_i[:3, :3].T
+    _ext_t = _T_c0_i[:3, 3]
     threshold = cfg.filter.position_std_threshold
     pos_var = jnp.diagonal(state.P)[12:15]
     trigger = (threshold > 0) & (
         jnp.sqrt(jnp.max(pos_var)) >= threshold
     )
+    # Self-healing beyond the reference: a non-finite covariance or state
+    # can never recover on its own (NaN comparisons are all False, so the
+    # sigma trigger above would stay silent forever) — force the reset.
+    finite = (
+        jnp.all(jnp.isfinite(jnp.diagonal(state.P)))
+        & jnp.all(jnp.isfinite(state.p))
+        & jnp.all(jnp.isfinite(state.v))
+        & jnp.all(jnp.isfinite(state.q))
+    )
+    trigger = trigger | ~finite
 
     def do_reset(s, f):
         N = cfg.filter.max_cam_state_size
@@ -147,6 +170,21 @@ def online_reset(state, fmap, params):
             clone_valid=jnp.zeros(N, bool),
             n_clones=jnp.zeros((), jnp.int32),
             P=reset_cov(params, s.P.dtype),
+        )
+        # Scrub any non-finite nominal state (identity attitude / zero
+        # kinematics is the only recoverable restart point).
+        def scrub(x, default):
+            bad = ~jnp.all(jnp.isfinite(x))
+            return jnp.where(bad, jnp.asarray(default, x.dtype), x)
+
+        s = s.replace(
+            q=scrub(s.q, jnp.asarray([0.0, 0.0, 0.0, 1.0])),
+            p=scrub(s.p, jnp.zeros(3)),
+            v=scrub(s.v, jnp.zeros(3)),
+            bg=scrub(s.bg, jnp.zeros(3)),
+            ba=scrub(s.ba, jnp.zeros(3)),
+            R_imu_cam0=scrub(s.R_imu_cam0, _ext_R),
+            t_cam0_imu=scrub(s.t_cam0_imu, _ext_t),
         )
         f = clear_features(f, jnp.ones_like(f.valid))
         return s, f

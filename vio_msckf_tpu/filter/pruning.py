@@ -110,7 +110,9 @@ def prune_clones(
 
     need_tri = fmap.valid & (n_involved >= 2) & ~fmap.initialized
     newly_ok = need_tri & motion_ok & tri_ok
-    use_pos = jnp.where(fmap.initialized[:, None], fmap.position, positions)
+    # Fresh triangulation when converged (see remove_lost_features for the
+    # rationale — stale positions correlate successive prune updates).
+    use_pos = jnp.where(tri_ok[:, None], positions, fmap.position)
     process = fmap.valid & (n_involved >= 2) & (fmap.initialized | newly_ok)
 
     M, m, _ = accumulate_update(

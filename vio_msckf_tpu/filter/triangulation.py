@@ -63,24 +63,53 @@ def _view_poses(clone_q, clone_p, obs_valid, R_c0c1, t_c0c1):
     return R_rel, t_rel, R_a, t_a, i0
 
 
-def _initial_guess(R_rel, t_rel, obs, i0, obs_valid):
-    """Two-view linear depth (feature.py:99-122): views are the first and
-    last cam0 observations; the pose is the last clone's cam0 relative
-    pose (cam_poses[-2], feature.py:216-218)."""
+def _two_view_depth(R, t, z1, z2, dtype):
+    """Linear two-view depth along bearing z1 (feature.py:99-122)."""
+    m = R @ jnp.concatenate([z1, jnp.ones(1, dtype)])
+    a = m[0:2] - z2 * m[2]
+    b = z2 * t[2] - t[0:2]
+    return (a @ b) / jnp.maximum(a @ a, _SAFE)
+
+
+def _to_inverse_depth(z1, depth, dtype):
+    p = jnp.concatenate([z1, jnp.ones(1, dtype)]) * depth
+    denom = jnp.where(jnp.abs(p[2]) > _SAFE, p[2], _SAFE)
+    return jnp.array([p[0] / denom, p[1] / denom, 1.0 / denom], dtype)
+
+
+def _initial_guess(R_rel, t_rel, obs, i0, obs_valid, Rv, tv, zv, view_valid):
+    """Two candidate two-view linear guesses, best-cost wins.
+
+    The reference seeds LM from the first/last cam0 pair only
+    (cam_poses[-2], feature.py:216-218) — which has ZERO baseline when the
+    platform is static, yielding a garbage depth the 5x5 LM iterations may
+    never recover from (the reference sidesteps this by skipping EuRoC's
+    static 40 s head, vio.py:88). We additionally seed from the first
+    clone's STEREO pair, whose ~11 cm baseline always exists, and keep the
+    seed with the lower reprojection cost.
+    """
+    dtype = obs.dtype
     N = obs.shape[0]
     iN = N - 1 - jnp.argmax(obs_valid[::-1])
     z1 = obs[i0, 0:2]
-    z2 = obs[iN, 0:2]
-    R = R_rel[iN, 0]
-    t = t_rel[iN, 0]
-    m = R @ jnp.concatenate([z1, jnp.ones(1, obs.dtype)])
-    a = m[0:2] - z2 * m[2]
-    b = z2 * t[2] - t[0:2]
-    depth = (a @ b) / jnp.maximum(a @ a, _SAFE)
-    p = jnp.concatenate([z1, jnp.ones(1, obs.dtype)]) * depth
-    # (alpha, beta, rho) = (x/z, y/z, 1/z)  (msckf reference feature.py:218)
-    denom = jnp.where(jnp.abs(p[2]) > _SAFE, p[2], _SAFE)
-    return jnp.array([p[0] / denom, p[1] / denom, 1.0 / denom], obs.dtype)
+
+    # (a) temporal: first->last cam0 (reference behavior)
+    d_temporal = _two_view_depth(
+        R_rel[iN, 0], t_rel[iN, 0], z1, obs[iN, 0:2], dtype
+    )
+    x_t = _to_inverse_depth(z1, d_temporal, dtype)
+    # (b) stereo: first clone cam0->cam1 (always has baseline)
+    d_stereo = _two_view_depth(
+        R_rel[i0, 1], t_rel[i0, 1], z1, obs[i0, 2:4], dtype
+    )
+    x_s = _to_inverse_depth(z1, d_stereo, dtype)
+
+    c_t = _costs(Rv, tv, zv, x_t, view_valid)
+    c_s = _costs(Rv, tv, zv, x_s, view_valid)
+    better_t = c_t < c_s
+    x0 = jnp.where(better_t, x_t, x_s)
+    cost0 = jnp.where(better_t, c_t, c_s)
+    return x0, cost0
 
 
 def _costs(R_rel, t_rel, z, x, view_valid):
@@ -139,8 +168,9 @@ def triangulate_one(
     zv = obs.reshape(N, 2, 2).reshape(2 * N, 2)
     view_valid = jnp.repeat(obs_valid, 2)
 
-    x0 = _initial_guess(R_rel, t_rel, obs, i0, obs_valid)
-    cost0 = _costs(Rv, tv, zv, x0, view_valid)
+    x0, cost0 = _initial_guess(
+        R_rel, t_rel, obs, i0, obs_valid, Rv, tv, zv, view_valid
+    )
 
     eye3 = jnp.eye(3, dtype=dtype)
 

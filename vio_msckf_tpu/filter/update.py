@@ -14,10 +14,9 @@ Reference semantics covered here:
 TPU-native redesign (SURVEY.md section 7): instead of materializing a tall
 (<=1500 x D) stacked Jacobian and QR-factorizing it, we accumulate the
 *information form* ``M = sum_j H~_j^T H~_j`` and ``m = sum_j H~_j^T r~_j``
-over gated features, then compress with one D x D Cholesky. This is
-mathematically identical to the reference update: for any factor T with
-``T^T T = H^T H`` and ``r_t = T^{-T} H^T r``, the posterior depends only on
-(M, m) because ``H^T (H P H^T + s I)^{-1} = (M P + s I)^{-1} H^T``.
+over gated features and apply the update directly from (M, m) via the
+push-through identity ``H^T (H P H^T + s I)^{-1} = (M P + s I)^{-1} H^T``
+(one LU solve; see information_update for why neither QR nor Cholesky).
 The nullspace projection never builds the complement basis either: with U
 an orthonormal basis of col(H_f) (one small QR per feature),
 ``H~^T H~ = H^T (I - U U^T) H``.
@@ -157,29 +156,49 @@ def feature_gamma(H, rp, U, P, obs_noise):
 def information_update(state: FilterState, M, m, params: MsckfParams):
     """Apply the EKF update from accumulated information (M, m).
 
-    Equivalent to measurement_update (msckf.py:543-604): Cholesky of M is
-    the thin factor the reference obtains by QR (R^T R = H^T H); the state
-    correction and (I - K H) P covariance update follow verbatim, including
-    the final symmetrization.
+    Exactly equivalent to measurement_update (msckf.py:543-604) by the
+    push-through identity ``H^T (H P H^T + s I)^{-1} = (M P + s I)^{-1} H^T``
+    with M = H^T H, s = observation_noise:
+
+        B     = (M P + s I)^{-1}
+        dx    = K r         = P B m
+        K H   =               P B M
+        P_new = (I - K H) P (I - K H)^T + K (s I) K^T          [Joseph]
+              = (I - P B M) P (.)^T + P (B M)(s B^T) P
+
+    One LU solve of the always-well-posed (M P + s I) replaces the
+    reference's tall QR. Two deliberate departures from a naive port:
+
+      * NO positive-definite factorization of M. The MSCKF's M is
+        structurally rank-deficient (global translation + yaw are
+        unobservable), and any jitter large enough to make a float32
+        Cholesky stable injects fake information along those directions —
+        the filter then shrinks unobservable covariance every update and
+        diverges (worst with noise-free measurements, where nothing
+        counteracts the overconfidence).
+      * Joseph-form covariance. The reference's (I - K H) P in float64
+        (msckf.py:598-601) loses positive-definiteness in float32 once
+        updates get strong (observed: sigma INCREASING through an update,
+        then negative variances); the Joseph form is PSD by construction.
     """
     D = M.shape[0]
     dtype = M.dtype
+    s = params.observation_noise
     M = (M + M.T) / 2.0
-    # Jitter scaled by trace(M) >= lambda_max: float32 rounding can push the
-    # smallest eigenvalue to about -eps_f32 * lambda_max, so 1e-6 * trace
-    # dominates it with margin while staying ~1e-7 relative to the spectrum.
-    delta = params.config.filter.chol_jitter * jnp.trace(M) + 1e-20
-    L = jnp.linalg.cholesky(M + delta * jnp.eye(D, dtype=dtype))
-    T = L.T                                             # thin "H"
-    r_thin = jax.scipy.linalg.solve_triangular(L, m, lower=True)
-
     P = state.P
-    S = T @ P @ T.T + params.observation_noise * jnp.eye(D, dtype=dtype)
-    K = jnp.linalg.solve(S, T @ P).T                    # (D, D), msckf.py:562
-    dx = K @ r_thin
 
-    I_KH = jnp.eye(D, dtype=dtype) - K @ T
-    P_new = I_KH @ P
+    S = M @ P + s * jnp.eye(D, dtype=dtype)
+    rhs = jnp.concatenate(
+        [m[:, None], M, s * jnp.eye(D, dtype=dtype)], axis=1
+    )
+    X = jnp.linalg.solve(S, rhs)
+    Bm = X[:, 0]            # B m
+    BM = X[:, 1:D + 1]      # B M
+    sB = X[:, D + 1:]       # s B
+
+    dx = P @ Bm
+    I_KH = jnp.eye(D, dtype=dtype) - P @ BM
+    P_new = I_KH @ P @ I_KH.T + P @ BM @ sB.T @ P
     P_new = (P_new + P_new.T) / 2.0
 
     return apply_correction(state, dx).replace(P=P_new)

@@ -153,11 +153,11 @@ class StereoTracker:
             cam1.distortion_coeffs,
         )
 
-        cam1_pts, st_fwd = pyramidal_lk(
+        cam1_pts, st_fwd, _ = pyramidal_lk(
             pyr0, pyr1, cam0_pts, cam1_init,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
         )
-        cam0_back, _ = pyramidal_lk(
+        cam0_back, _, _ = pyramidal_lk(
             pyr1, pyr0, cam1_pts, cam0_pts,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
         )
@@ -240,11 +240,23 @@ class StereoTracker:
         pred = self._predict_tracking(
             ts.cam0_pts, cam0_R_p_c, cam0.intrinsics
         )
-        tracked_pts, st = pyramidal_lk(
+        tracked_pts, st, _ = pyramidal_lk(
             ts.pyr_prev, pyr0, ts.cam0_pts, pred,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
         )
-        survived = ts.valid & ts.has_prev & st & self._in_bounds(tracked_pts)
+        # Forward-backward consistency: re-track curr->prev and require the
+        # round trip to land back on the original point. This replaces the
+        # reference's unimplemented 2-pt RANSAC slot (image.py:292-313) as
+        # the temporal outlier gate — without it, a track that slid onto a
+        # different corner passes every stereo gate and poisons the filter.
+        back_pts, st_back, _ = pyramidal_lk(
+            pyr0, ts.pyr_prev, tracked_pts, ts.cam0_pts,
+            fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
+        )
+        fb_err = jnp.linalg.norm(back_pts - ts.cam0_pts, axis=1)
+        fb_ok = st_back & (fb_err < fe.temporal_backward_err_px)
+        survived = (ts.valid & ts.has_prev & st & fb_ok
+                    & self._in_bounds(tracked_pts))
 
         # --- stereo matching of survivors (image.py:279-288) ---
         cam1_pts, match = self._stereo_match(pyr0, pyr1, tracked_pts, survived)

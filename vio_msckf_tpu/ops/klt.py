@@ -10,6 +10,14 @@ image; the flow is refined by fixed-count Newton iterations with per-feature
 convergence masking (lockstep — no data-dependent control flow). All
 features are processed as one batch of bilinear gathers; images live in
 VMEM at these sizes.
+
+Status semantics follow cv2: a track fails when the tracked point leaves
+the image or the gradient matrix's smallest eigenvalue (normalized by the
+window area) falls below `min_eig_threshold` at the finest level — cv2's
+minEigThreshold check, which is what keeps textureless/degenerate patches
+from reporting garbage as success. The per-feature mean absolute residual
+over the final window is returned like cv2's `err` output so callers can
+gate on photometric consistency.
 """
 
 from functools import partial
@@ -36,9 +44,10 @@ def bilinear_sample(img, xy):
     return top * (1 - fy) + bot * fy
 
 
-def _track_level(img_prev, img_next, pts_prev, guess, win, iters, eps):
+def _track_level(img_prev, img_next, pts_prev, guess, win, iters, eps,
+                 min_eig_threshold):
     """One pyramid level for all features. pts_prev/guess: (P, 2) at this
-    level's scale. Returns refined guess (P, 2)."""
+    level's scale. Returns (refined guess (P, 2), ok (P,), err (P,))."""
     r = win // 2
     # 17x17 template patch -> central differences give the 15x15 gradients.
     off = jnp.arange(-r - 1, r + 2, dtype=jnp.float32)
@@ -55,8 +64,14 @@ def _track_level(img_prev, img_next, pts_prev, guess, win, iters, eps):
     Gxy = jnp.sum(Ix * Iy, axis=(1, 2))
     Gyy = jnp.sum(Iy * Iy, axis=(1, 2))
     det = Gxx * Gyy - Gxy * Gxy
-    ok = det > 1e-6
-    det_safe = jnp.where(ok, det, 1.0)
+    # Smallest eigenvalue of G, normalized by window area (cv2's
+    # minEigThreshold semantics — rejects flat/edge-only patches whose
+    # normal equations are ill-conditioned).
+    half_tr = 0.5 * (Gxx + Gyy)
+    disc = jnp.sqrt(jnp.maximum(half_tr * half_tr - det, 0.0))
+    min_eig = (half_tr - disc) / (win * win)
+    ok = min_eig > min_eig_threshold
+    det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
 
     woff = patch_off[1:-1, 1:-1]  # (win, win, 2)
 
@@ -78,10 +93,15 @@ def _track_level(img_prev, img_next, pts_prev, guess, win, iters, eps):
     guess, _ = jax.lax.fori_loop(
         0, iters, body, (guess, jnp.zeros(len(guess), bool))
     )
-    return guess, ok
+
+    # Final photometric residual (cv2's `err`: mean |I - J| over the window).
+    cur_xy = guess[:, None, None, :] + woff[None]
+    J = jax.vmap(lambda c: bilinear_sample(img_next, c))(cur_xy)
+    err = jnp.mean(jnp.abs(I - J), axis=(1, 2))
+    return guess, ok, err
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def pyramidal_lk(
     pyr_prev,      # tuple of (H/2^l, W/2^l) float images, level 0 first
     pyr_next,
@@ -90,23 +110,27 @@ def pyramidal_lk(
     win: int = 15,
     iters: int = 30,
     eps: float = 0.01,
+    min_eig_threshold: float = 1e-4,
 ):
     """Track pts_prev from pyr_prev into pyr_next.
 
-    Returns (pts_next (P, 2), status (P,) bool). Status is False when the
-    tracked point leaves the image or the gradient matrix is degenerate at
-    the finest level (cv2's out-of-frame semantics, image.py:260-266).
+    Returns (pts_next (P, 2), status (P,) bool, err (P,) float). Status is
+    False when the tracked point leaves the image or the gradient matrix is
+    degenerate at the finest level (cv2's semantics, image.py:260-266);
+    `err` is the final-window mean absolute intensity residual.
     """
     levels = len(pyr_prev) - 1
     scale = 2.0 ** levels
     guess = pts_init / scale
 
     status = jnp.ones(pts_prev.shape[0], bool)
+    err = jnp.zeros(pts_prev.shape[0], jnp.float32)
     for lvl in range(levels, -1, -1):
         s = 2.0 ** lvl
         p_lvl = pts_prev / s
-        guess, ok = _track_level(
-            pyr_prev[lvl], pyr_next[lvl], p_lvl, guess, win, iters, eps
+        guess, ok, err = _track_level(
+            pyr_prev[lvl], pyr_next[lvl], p_lvl, guess, win, iters, eps,
+            min_eig_threshold,
         )
         if lvl == 0:
             status = status & ok
@@ -118,4 +142,4 @@ def pyramidal_lk(
         (guess[:, 0] >= 0) & (guess[:, 0] <= W - 1)
         & (guess[:, 1] >= 0) & (guess[:, 1] <= H - 1)
     )
-    return guess, status & inb
+    return guess, status & inb, err
