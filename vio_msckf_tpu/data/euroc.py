@@ -120,12 +120,12 @@ def load_png_gray(path):
 
 
 def bundle_euroc_frames(seq: EuRoCSequence, config, max_frames=None):
-    """Per-frame IMU bundles for an EuRoC sequence, replicating the
-    host-side boundary logic of batch_imu_processing (msckf.py:262-287) —
-    identical to data/simulator.py:bundle_frames but fed from CSV streams.
+    """Per-frame IMU bundles for an EuRoC sequence (shared slicing logic
+    in data/bundling.py; see batch_imu_processing, msckf.py:262-287).
 
     Returns (frames dict without images, init dict, frame_times).
     """
+    from vio_msckf_tpu.data.bundling import bundle_imu_stream
     from vio_msckf_tpu.filter.msckf import initialize_gravity_and_bias
 
     M = config.filter.imu_per_frame
@@ -141,27 +141,10 @@ def bundle_euroc_frames(seq: EuRoCSequence, config, max_frames=None):
     frames_t = frame_t[first:]
     if max_frames is not None:
         frames_t = frames_t[:max_frames]
-    Nf = len(frames_t)
 
-    gyro = np.zeros((Nf, M, 3), np.float32)
-    acc = np.zeros((Nf, M, 3), np.float32)
-    dts = np.zeros((Nf, M), np.float32)
-    valid = np.zeros((Nf, M), bool)
-
-    state_ts = frames_t[0]
-    for k, ft in enumerate(frames_t):
-        if k == 0:
-            continue
-        sel = np.flatnonzero((imu_t >= state_ts) & (imu_t <= ft))[:M]
-        prev = state_ts
-        for j, si in enumerate(sel):
-            gyro[k, j] = gyro_s[si]
-            acc[k, j] = acc_s[si]
-            dts[k, j] = imu_t[si] - prev
-            valid[k, j] = True
-            prev = imu_t[si]
-        if len(sel):
-            state_ts = imu_t[sel[-1]] + 1e-9
+    gyro, acc, dts, valid = bundle_imu_stream(
+        imu_t, gyro_s, acc_s, frames_t, M
+    )
 
     frames = dict(imu_gyro=gyro, imu_acc=acc, imu_dt=dts, imu_valid=valid)
     init = dict(q0=q0, bg0=bg, gravity=gravity)

@@ -211,6 +211,7 @@ def bundle_frames(seq, config: VIOConfig, start_after_init=True):
     Returns (frames dict of stacked arrays, init dict for
     initialize_gravity_and_bias, first_frame_index).
     """
+    from vio_msckf_tpu.data.bundling import bundle_imu_stream
     from vio_msckf_tpu.filter.msckf import initialize_gravity_and_bias
 
     M = config.filter.imu_per_frame
@@ -224,27 +225,10 @@ def bundle_frames(seq, config: VIOConfig, start_after_init=True):
     frame_t = seq["frame_t"]
     first = int(np.searchsorted(frame_t, t_ready)) if start_after_init else 0
     frames_t = frame_t[first:]
-    Nf = len(frames_t)
 
-    gyro = np.zeros((Nf, M, 3), np.float32)
-    acc = np.zeros((Nf, M, 3), np.float32)
-    dts = np.zeros((Nf, M), np.float32)
-    valid = np.zeros((Nf, M), bool)
-
-    state_ts = frames_t[0]  # is_first_img: timestamp := first frame stamp
-    for k, ft in enumerate(frames_t):
-        if k == 0:
-            continue  # first frame processes no IMU (msckf.py:190-192)
-        sel = np.flatnonzero((imu_t >= state_ts) & (imu_t <= ft))[:M]
-        prev = state_ts
-        for j, si in enumerate(sel):
-            gyro[k, j] = seq["imu_gyro"][si]
-            acc[k, j] = seq["imu_acc"][si]
-            dts[k, j] = imu_t[si] - prev
-            valid[k, j] = True
-            prev = imu_t[si]
-        if len(sel):
-            state_ts = imu_t[sel[-1]] + 1e-9
+    gyro, acc, dts, valid = bundle_imu_stream(
+        imu_t, seq["imu_gyro"], seq["imu_acc"], frames_t, M
+    )
 
     frames = dict(
         imu_gyro=gyro, imu_acc=acc, imu_dt=dts, imu_valid=valid,
