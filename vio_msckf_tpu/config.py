@@ -96,7 +96,7 @@ class FilterConfig:
     init_imu_samples: int = 200
     # Fixed-shape capacities (new: TPU design).
     max_features: int = 160        # feature-map slots (map_server capacity)
-    imu_per_frame: int = 32        # padded IMU samples per frame bundle
+    imu_per_frame: int = 16        # padded IMU samples per frame bundle (~10 real at 200 Hz IMU, 20 Hz cam)
 
 
 @dataclass(frozen=True)

@@ -38,7 +38,7 @@ from vio_msckf_tpu.config import VIOConfig
 from vio_msckf_tpu.math import axis_angle_to_rot, skew
 from vio_msckf_tpu.ops.distortion import distort_points, undistort_points
 from vio_msckf_tpu.ops.fast import fast_score_map, detect_grid_features
-from vio_msckf_tpu.ops.klt import pyramidal_lk
+from vio_msckf_tpu.ops.klt import FlatPyramid, prepare_pyramid, pyramidal_lk
 from vio_msckf_tpu.ops.pyramid import build_pyramid
 
 import numpy as np
@@ -52,7 +52,7 @@ class TrackerState:
     cam1_pts: jnp.ndarray   # (T, 2) pixels
     valid: jnp.ndarray      # (T,) bool
     next_id: jnp.ndarray    # () int32
-    pyr_prev: tuple         # previous cam0 pyramid (tuple of arrays)
+    pyr_prev: FlatPyramid   # previous cam0 pyramid (lane-row representation)
     has_prev: jnp.ndarray   # () bool
 
 
@@ -93,10 +93,10 @@ class StereoTracker:
         T = self.config.frontend.max_tracks
         lv = self.config.frontend.lk_pyramid_levels
         h, w = self.height, self.width
-        pyr = tuple(
+        pyr = prepare_pyramid(tuple(
             jnp.zeros((h // (2 ** l), w // (2 ** l)), jnp.float32)
             for l in range(lv + 1)
-        )
+        ))
         return TrackerState(
             ids=jnp.full((T,), -1, jnp.int32),
             lifetime=jnp.zeros(T, jnp.int32),
@@ -221,8 +221,9 @@ class StereoTracker:
         T = fe.max_tracks
         cam0, cam1 = cfg.cam0, cfg.cam1
 
-        pyr0 = tuple(build_pyramid(cam0_img, lv))
-        pyr1 = tuple(build_pyramid(cam1_img, lv))
+        pyr0_2d = build_pyramid(cam0_img, lv)
+        pyr0 = prepare_pyramid(pyr0_2d)
+        pyr1 = prepare_pyramid(build_pyramid(cam1_img, lv))
 
         # --- gyro-integrated rotation prediction (image.py:440-487) ---
         nvalid = jnp.maximum(jnp.sum(imu_valid), 1)
@@ -258,28 +259,23 @@ class StereoTracker:
         survived = (ts.valid & ts.has_prev & st & fb_ok
                     & self._in_bounds(tracked_pts))
 
-        # --- stereo matching of survivors (image.py:279-288) ---
-        cam1_pts, match = self._stereo_match(pyr0, pyr1, tracked_pts, survived)
-        survived = survived & match
-        lifetime = jnp.where(survived, ts.lifetime + 1, 0)
-
         # --- detection under the occupancy mask (image.py:317-390) ---
-        score = fast_score_map(pyr0[0], fe.fast_threshold)
+        # Occupancy = scatter the surviving track points into the image grid,
+        # then dilate by the suppression radius with a max-pool — one dense
+        # pass, replacing the reference's per-feature mask painting
+        # (image.py:326-330) and the round-1 serial per-track scan.
+        score = fast_score_map(pyr0_2d[0], fe.fast_threshold)
         Hh, Ww = score.shape
-        yy = jnp.arange(Hh)[:, None]
-        xx = jnp.arange(Ww)[None, :]
-        mask = jnp.ones((Hh, Ww), bool)
-
-        def occupy(mask, pt_valid_pt):
-            pt, v = pt_valid_pt
-            dy = jnp.abs(yy - pt[1])
-            dx = jnp.abs(xx - pt[0])
-            near = (dy <= fe.mask_radius) & (dx <= fe.mask_radius)
-            return jnp.where(v, mask & ~near, mask), None
-
-        mask, _ = jax.lax.scan(
-            occupy, mask, (tracked_pts, survived)
+        ix = jnp.clip(tracked_pts[:, 0].astype(jnp.int32), 0, Ww - 1)
+        iy = jnp.clip(tracked_pts[:, 1].astype(jnp.int32), 0, Hh - 1)
+        # Invalid points scatter out of range and are dropped.
+        iy = jnp.where(survived, iy, Hh)
+        occ = jnp.zeros((Hh, Ww), bool).at[iy, ix].set(True, mode="drop")
+        k = 2 * fe.mask_radius + 1
+        occ = jax.lax.reduce_window(
+            occ, False, jax.lax.bitwise_or, (k, k), (1, 1), "SAME"
         )
+        mask = ~occ
 
         cand_xy, cand_resp, cand_valid = detect_grid_features(
             score, mask, self.grid_row, self.grid_col,
@@ -290,9 +286,15 @@ class StereoTracker:
         cand_resp = cand_resp.reshape(C)
         cand_valid = cand_valid.reshape(C)
 
-        cand_cam1, cand_match = self._stereo_match(
-            pyr0, pyr1, cand_xy, cand_valid
-        )
+        # --- stereo matching: survivors + candidates in ONE batched pass
+        #     (image.py:279-288 and image.py:354 ran two) ---
+        sm_pts = jnp.concatenate([tracked_pts, cand_xy], axis=0)
+        sm_active = jnp.concatenate([survived, cand_valid], axis=0)
+        sm_cam1, sm_match = self._stereo_match(pyr0, pyr1, sm_pts, sm_active)
+        cam1_pts, cand_cam1 = sm_cam1[:T], sm_cam1[T:]
+        match, cand_match = sm_match[:T], sm_match[T:]
+        survived = survived & match
+        lifetime = jnp.where(survived, ts.lifetime + 1, 0)
         # Per-cell top grid_min among matched candidates (image.py:384-390).
         cand_codes = self._cell_code(cand_xy)
         cand_rank = self._rank_in_cell(
