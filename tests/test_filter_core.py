@@ -1,6 +1,6 @@
 """Filter-core tests: propagation/augmentation vs the f64 oracle, and the
-algebraic equivalence of the information-form Cholesky update with the
-reference's SVD-nullspace + tall-QR path."""
+equivalence of the fixed-shape QR-compressed update (stack_update +
+qr_update) with the reference's SVD-nullspace + tall-QR path."""
 
 import numpy as np
 import jax
@@ -14,10 +14,10 @@ from vio_msckf_tpu.filter.state import (
 from vio_msckf_tpu.filter.propagation import propagate
 from vio_msckf_tpu.filter.augmentation import augment
 from vio_msckf_tpu.filter.update import (
-    accumulate_update,
+    stack_update,
+    qr_update,
     feature_system,
     feature_gamma,
-    information_update,
 )
 
 import oracle_msckf as oracle
@@ -146,9 +146,11 @@ def test_augmentation_matches_oracle(cfg, params, rng):
     )
 
 
-def test_information_form_equals_reference_update(rng):
-    """Pure-linear-algebra f64 proof: Cholesky information compression ==
-    SVD nullspace + tall QR + solve (the msckf.py:500-604 path)."""
+def test_qr_form_equals_reference_update(rng):
+    """Pure-linear-algebra f64 proof: projected-row stacking + one tall QR
+    + Joseph covariance == the reference's SVD nullspace + tall QR + solve
+    + (I-KH)P path (msckf.py:500-604). The two covariance forms agree
+    exactly because K is the optimal gain."""
     D = 33  # 21 + 2 clones
     P = random_psd(rng, D, scale=0.1)
     obs_noise = 0.035 ** 2
@@ -171,23 +173,23 @@ def test_information_form_equals_reference_update(rng):
         P, H_list, Hf_list, r_list, obs_noise, chi2_table, dofs
     )
 
-    # Information path (numpy mirror of filter/update.py).
-    M = np.zeros((D, D))
-    mv = np.zeros(D)
+    # Our path (numpy mirror of filter/update.py): project each feature's
+    # rows with (I - U U^T), stack ALL rows (rank 4k-3 but 4k rows), one
+    # tall QR, Joseph update.
+    rows_H, rows_r = [], []
     for H, Hf, r in zip(H_list, Hf_list, r_list):
         U, _ = np.linalg.qr(Hf)
-        Hp = H - U @ (U.T @ H)
-        rp = r - U @ (U.T @ r)
-        M += Hp.T @ Hp
-        mv += Hp.T @ rp
-    delta = 1e-12 * np.trace(M) / D
-    L = np.linalg.cholesky(M + delta * np.eye(D))
-    T = L.T
-    r_thin = np.linalg.solve(L, mv)
+        rows_H.append(H - U @ (U.T @ H))
+        rows_r.append(r - U @ (U.T @ r))
+    Hs = np.vstack(rows_H)
+    rs = np.concatenate(rows_r)
+    Q, T = np.linalg.qr(Hs)
+    z = Q.T @ rs
     S = T @ P @ T.T + obs_noise * np.eye(D)
     K = np.linalg.solve(S, T @ P).T
-    dx = K @ r_thin
-    P_new = (np.eye(D) - K @ T) @ P
+    dx = K @ z
+    I_KH = np.eye(D) - K @ T
+    P_new = I_KH @ P @ I_KH.T + obs_noise * (K @ K.T)
     P_new = (P_new + P_new.T) / 2.0
 
     np.testing.assert_allclose(dx, dx_ref, atol=1e-8)
@@ -272,7 +274,7 @@ def test_full_update_matches_oracle_geometric(cfg, params, rng):
     process = n_obs >= 3
     dofs = np.maximum(n_obs - 1, 1)
 
-    M, m, include = accumulate_update(
+    Hc, rc, include = stack_update(
         state, params,
         positions=jnp.asarray(positions, jnp.float32),
         obs=jnp.asarray(obs, jnp.float32),
@@ -280,7 +282,7 @@ def test_full_update_matches_oracle_geometric(cfg, params, rng):
         process_mask=jnp.asarray(process),
         dofs=jnp.asarray(dofs, jnp.int32),
     )
-    new_state = information_update(state, M, m, params)
+    new_state = qr_update(state, Hc, rc, params)
 
     # Oracle on the active sub-problem.
     d_act = 21 + 6 * n_clones
@@ -317,9 +319,9 @@ def test_full_update_matches_oracle_geometric(cfg, params, rng):
     inc = np.asarray(include)[np.asarray(process)]
     np.testing.assert_array_equal(inc, np.asarray(gates))
 
-    # Posterior must match to f32 tolerances. (The f64 algebraic identity is
-    # proven exactly in test_information_form_equals_reference_update; the
-    # residual here is float32 accumulation noise through ||M|| ~ 2.5e3.)
+    # Posterior must match to f32 tolerances. (The f64 algebraic identity
+    # is proven exactly in test_qr_form_equals_reference_update; the
+    # residual here is float32 rounding through the QR + Joseph products.)
     P_new = np.asarray(new_state.P, float)[:d_act, :d_act]
     np.testing.assert_allclose(P_new, P_ref, atol=2e-3)
     dp = np.asarray(new_state.p, float) - np.asarray(state.p, float)

@@ -90,6 +90,13 @@ def build_parser():
     ap.add_argument("--profile", default=None,
                     help="jax profiler trace directory")
     ap.add_argument("--demo-duration", type=float, default=12.0)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu). Note: the "
+                    "JAX_PLATFORMS env var is ignored in images where jax "
+                    "is pre-imported at interpreter startup; this flag "
+                    "goes through jax.config and always works")
+    ap.add_argument("--compile-cache", default=None,
+                    help="persistent XLA compile-cache directory")
     return ap
 
 
@@ -329,6 +336,17 @@ def run_eskf(args, log):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform or args.compile_cache:
+        import jax
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.compile_cache:
+            jax.config.update("jax_compilation_cache_dir",
+                              args.compile_cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
     from vio_msckf_tpu.utils.logging import get_logger
     log = get_logger("vio.cli")
     if not args.demo and not args.path:

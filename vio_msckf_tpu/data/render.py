@@ -120,12 +120,19 @@ def render_sequence(config: VIOConfig, R_w_i_stack, p_stack, radius=14.0,
     per chunk, images stay on device). Returns (cam0 (N,H,W), cam1)."""
     render = make_renderer(config, radius=radius, seed=seed)
     vrender = jax.jit(jax.vmap(render))
-    R = jnp.asarray(R_w_i_stack, jnp.float32)
-    p = jnp.asarray(p_stack, jnp.float32)
-    outs0, outs1 = [], []
+    R = np.asarray(R_w_i_stack, np.float32)
+    p = np.asarray(p_stack, np.float32)
     n = R.shape[0]
-    for s in range(0, n, chunk):
-        i0, i1 = vrender(R[s:s + chunk], p[s:s + chunk])
+    # Pad the tail to a full chunk: a second trace/compile of the big
+    # fused render kernel costs far more than the wasted frames.
+    pad = (-n) % chunk
+    if pad:
+        R = np.concatenate([R, np.repeat(R[-1:], pad, axis=0)])
+        p = np.concatenate([p, np.repeat(p[-1:], pad, axis=0)])
+    outs0, outs1 = [], []
+    for s in range(0, n + pad, chunk):
+        i0, i1 = vrender(jnp.asarray(R[s:s + chunk]),
+                         jnp.asarray(p[s:s + chunk]))
         outs0.append(i0)
         outs1.append(i1)
-    return jnp.concatenate(outs0), jnp.concatenate(outs1)
+    return jnp.concatenate(outs0)[:n], jnp.concatenate(outs1)[:n]

@@ -30,7 +30,7 @@ from vio_msckf_tpu.filter.state import (
 from vio_msckf_tpu.filter.propagation import propagate
 from vio_msckf_tpu.filter.augmentation import augment
 from vio_msckf_tpu.filter.features import add_observations, clear_features
-from vio_msckf_tpu.filter.update import accumulate_update, information_update
+from vio_msckf_tpu.filter.update import stack_update, tsqr_reduce_update
 from vio_msckf_tpu.filter.triangulation import (
     triangulate_all,
     check_motion_one,
@@ -124,7 +124,7 @@ def remove_lost_features(state, fmap, params, axis_name=None):
     fresh = tri_ok
     use_pos = jnp.where(fresh[:, None], positions, fmap.position)
 
-    M, m, _ = accumulate_update(
+    Hc, rc, _ = stack_update(
         state, params,
         positions=use_pos,
         obs=fmap.obs,
@@ -133,7 +133,7 @@ def remove_lost_features(state, fmap, params, axis_name=None):
         dofs=n_obs - 1,        # dof = #observing clones - 1 (msckf.py:671)
         axis_name=axis_name,
     )
-    state = information_update(state, M, m, params)
+    state = tsqr_reduce_update(state, Hc, rc, params, axis_name=axis_name)
 
     # Every lost feature leaves the map (msckf.py:648-650, 687-689).
     fmap = clear_features(fmap, lost)
@@ -244,6 +244,18 @@ class MSCKF:
           feat_ids (K,) int32, feat_obs (K,4), feat_valid (K,) bool.
         """
         state, fmap = carry
+        params = self.params
+
+        # TPU MXU matmuls default to bfloat16 passes; the EKF's covariance
+        # algebra (QR, S solve, Joseph products) cannot survive 8 mantissa
+        # bits — measured: the 12 s demo diverges to km-scale ATE under
+        # default precision and tracks at cm under HIGHEST. The front-end
+        # (image ops) stays at default precision for speed; only the
+        # estimator runs in full f32.
+        with jax.default_matmul_precision("highest"):
+            return self._step_impl(state, fmap, frame)
+
+    def _step_impl(self, state, fmap, frame):
         params = self.params
 
         state = propagate(

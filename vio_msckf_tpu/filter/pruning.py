@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from vio_msckf_tpu.math import quat_to_rot, rot_to_quat
 from vio_msckf_tpu.filter.state import FilterState, FeatureMap, MsckfParams
-from vio_msckf_tpu.filter.update import accumulate_update, information_update
+from vio_msckf_tpu.filter.update import stack_update, tsqr_reduce_update
 from vio_msckf_tpu.filter.triangulation import (
     triangulate_all,
     check_motion_one,
@@ -115,7 +115,7 @@ def prune_clones(
     use_pos = jnp.where(tri_ok[:, None], positions, fmap.position)
     process = fmap.valid & (n_involved >= 2) & (fmap.initialized | newly_ok)
 
-    M, m, _ = accumulate_update(
+    Hc, rc, _ = stack_update(
         state, params,
         positions=use_pos,
         obs=fmap.obs,
@@ -124,7 +124,7 @@ def prune_clones(
         dofs=n_involved,       # dof = #involved clones (msckf.py:789)
         axis_name=axis_name,
     )
-    state = information_update(state, M, m, params)
+    state = tsqr_reduce_update(state, Hc, rc, params, axis_name=axis_name)
 
     # Newly triangulated survivors keep their position (feature.py:292-294).
     fmap = fmap.replace(

@@ -11,15 +11,19 @@ Reference semantics covered here:
   * the batched EKF update with QR compression (measurement_update,
     msckf.py:543-604).
 
-TPU-native redesign (SURVEY.md section 7): instead of materializing a tall
-(<=1500 x D) stacked Jacobian and QR-factorizing it, we accumulate the
-*information form* ``M = sum_j H~_j^T H~_j`` and ``m = sum_j H~_j^T r~_j``
-over gated features and apply the update directly from (M, m) via the
-push-through identity ``H^T (H P H^T + s I)^{-1} = (M P + s I)^{-1} H^T``
-(one LU solve; see information_update for why neither QR nor Cholesky).
-The nullspace projection never builds the complement basis either: with U
-an orthonormal basis of col(H_f) (one small QR per feature),
-``H~^T H~ = H^T (I - U U^T) H``.
+TPU-native redesign (SURVEY.md section 7): the gated per-feature systems
+are scatter-compacted into ONE fixed-size row buffer (the fixed-shape
+analog of the reference's 1500-row stack, msckf.py:676-679) and compressed
+with a single tall-skinny QR, exactly like the reference (msckf.py:549-553)
+— backward-stable in float32. Round 2 used an information form
+``M = sum H~^T H~`` instead; that squares the condition number, and the
+float32 filter diverged at the first clone prune (its largest stacked
+system) while the identical pipeline in float64 stayed at centimeter error
+— measured in scripts/diag_divergence.py. QR it is.
+The nullspace projection never builds the complement basis: with U an
+orthonormal basis of col(H_f) (one small QR per feature),
+``H~ = (I - U U^T) H`` spans the same row space as the reference's
+A^T H (msckf.py:533-539).
 
 Gating is computed exactly (same gamma as the reference's projected
 system) via the block-inverse identity
@@ -130,6 +134,12 @@ def feature_system(p_w, obs, use_mask, state: FilterState,
     # Orthonormal basis of col(H_f): one small reduced QR per feature,
     # replacing the reference's SVD nullspace (msckf.py:533-539).
     U, _ = jnp.linalg.qr(Hf_full)                    # (4N, 3)
+    # Unused-clone rows of H_f are exactly zero, so U's rows there are zero
+    # too whenever H_f has full column rank; enforce it outright so the
+    # projected rows of unused clones stay EXACTLY zero even for degenerate
+    # geometry — the row compaction in stack_update relies on it.
+    row_mask = jnp.repeat(use_mask, 4)[:, None]
+    U = jnp.where(row_mask, U, 0.0)
     Hp = H - U @ (U.T @ H)
     rp = r_full - U @ (U.T @ r_full)
     return H, Hp, r_full, rp, U
@@ -150,55 +160,43 @@ def feature_gamma(H, rp, U, P, obs_noise):
 
 
 # ---------------------------------------------------------------------------
-# Information-form batched update (msckf.py:543-604 equivalent)
+# QR-compressed batched update (measurement_update, msckf.py:543-604)
 # ---------------------------------------------------------------------------
 
-def information_update(state: FilterState, M, m, params: MsckfParams):
-    """Apply the EKF update from accumulated information (M, m).
+def qr_update(state: FilterState, Hc, rc, params: MsckfParams):
+    """Apply the EKF update from the compacted stacked system (Hc, rc).
 
-    Exactly equivalent to measurement_update (msckf.py:543-604) by the
-    push-through identity ``H^T (H P H^T + s I)^{-1} = (M P + s I)^{-1} H^T``
-    with M = H^T H, s = observation_noise:
+    Mirrors the reference's measurement_update (msckf.py:543-604): QR-
+    compress the tall stack to a (D, D) triangle Th with z = Q^T r — an
+    EXACT reduction for any rank, since for H = Q Th (Q orthonormal
+    columns)::
 
-        B     = (M P + s I)^{-1}
-        dx    = K r         = P B m
-        K H   =               P B M
-        P_new = (I - K H) P (I - K H)^T + K (s I) K^T          [Joseph]
-              = (I - P B M) P (.)^T + P (B M)(s B^T) P
+        K = P H^T (H P H^T + s I_m)^{-1} = P Th^T (Th P Th^T + s I_D)^{-1} Q^T
 
-    One LU solve of the always-well-posed (M P + s I) replaces the
-    reference's tall QR. Two deliberate departures from a naive port:
+    — so the compressed update reproduces dx and (I - K H) verbatim. Unlike
+    round 2's information form (M = H^T H, which squares the condition
+    number and made the float32 filter diverge at the first clone prune),
+    Householder QR is backward-stable: this path is f32-safe.
 
-      * NO positive-definite factorization of M. The MSCKF's M is
-        structurally rank-deficient (global translation + yaw are
-        unobservable), and any jitter large enough to make a float32
-        Cholesky stable injects fake information along those directions —
-        the filter then shrinks unobservable covariance every update and
-        diverges (worst with noise-free measurements, where nothing
-        counteracts the overconfidence).
-      * Joseph-form covariance. The reference's (I - K H) P in float64
-        (msckf.py:598-601) loses positive-definiteness in float32 once
-        updates get strong (observed: sigma INCREASING through an update,
-        then negative variances); the Joseph form is PSD by construction.
+    Departure from the reference kept from round 2: Joseph-form covariance.
+    The reference's (I - K H) P in float64 (msckf.py:598-601) loses
+    positive-definiteness in float32 once updates get strong; the Joseph
+    form is PSD by construction.
     """
-    D = M.shape[0]
-    dtype = M.dtype
+    D = state.P.shape[0]
+    dtype = state.P.dtype
     s = params.observation_noise
-    M = (M + M.T) / 2.0
     P = state.P
 
-    S = M @ P + s * jnp.eye(D, dtype=dtype)
-    rhs = jnp.concatenate(
-        [m[:, None], M, s * jnp.eye(D, dtype=dtype)], axis=1
-    )
-    X = jnp.linalg.solve(S, rhs)
-    Bm = X[:, 0]            # B m
-    BM = X[:, 1:D + 1]      # B M
-    sB = X[:, D + 1:]       # s B
+    Q, Th = jnp.linalg.qr(Hc)            # reduced: Q (rows, D), Th (D, D)
+    z = Q.T @ rc                         # (D,)
 
-    dx = P @ Bm
-    I_KH = jnp.eye(D, dtype=dtype) - P @ BM
-    P_new = I_KH @ P @ I_KH.T + P @ BM @ sB.T @ P
+    S = Th @ P @ Th.T + s * jnp.eye(D, dtype=dtype)
+    S = (S + S.T) / 2.0
+    K = jnp.linalg.solve(S, Th @ P).T    # (D, D); S symmetric PD
+    dx = K @ z
+    I_KH = jnp.eye(D, dtype=dtype) - K @ Th
+    P_new = I_KH @ P @ I_KH.T + s * (K @ K.T)
     P_new = (P_new + P_new.T) / 2.0
 
     return apply_correction(state, dx).replace(P=P_new)
@@ -234,7 +232,15 @@ def apply_correction(state: FilterState, dx):
     )
 
 
-def accumulate_update(
+def budget_blocks(params: MsckfParams) -> int:
+    """4-row blocks in the fixed stacking buffer: the reference's 1500-row
+    cap (msckf.py:676-679) plus one feature of slack (the cap rule admits
+    the feature that crosses the line, up to 4N more rows)."""
+    fc = params.config.filter
+    return fc.max_update_rows // 4 + fc.max_cam_state_size
+
+
+def stack_update(
     state: FilterState,
     params: MsckfParams,
     positions,       # (F, 3) triangulated world positions
@@ -245,21 +251,29 @@ def accumulate_update(
     axis_name=None,  # optional mesh axis to shard the feature dim over
 ):
     """Shared fan-in for remove_lost_features / prune_cam_state_buffer:
-    per-feature systems -> gating -> row budget -> (M, m, include_mask).
+    per-feature systems -> gating -> row budget -> compacted (Hc, rc).
 
     Budget rule mirrors msckf.py:676-679: feature j contributes iff the
-    gated rows stacked before it total <= max_update_rows.
+    gated rows stacked before it total <= max_update_rows. The gated
+    blocks (4 rows per used clone, feature-major order like the
+    reference's stack) are scatter-compacted into a fixed
+    (4 * budget_blocks, D) buffer — the fixed-shape analog of the
+    reference's dynamically sized H_x stack. Projected rows of unused
+    clones are exactly zero (feature_system masks U), so the compaction
+    loses nothing.
 
     With `axis_name` set (under shard_map over a device mesh), each shard
-    builds the systems for its F/n_block slice of the feature table and the
-    information accumulators are reduced with `lax.psum` over ICI — the
-    distributed Schur/information reduction of SURVEY.md section 2.4. The
-    row-budget prefix sum needs the *global* feature order, so the tiny
-    per-feature (gamma, rows) vectors are all-gathered first; the result is
-    bitwise-equivalent to the unsharded path up to float addition order.
+    builds the systems for its F/n_block slice of the feature table and
+    compacts its own buffer; `tsqr_reduce_update` then reduces the shard
+    triangles over ICI. The row-budget prefix sum needs the *global*
+    feature order, so the tiny per-feature gamma vector is all-gathered
+    first.
     """
     P = state.P
     F = positions.shape[0]
+    N = use_masks.shape[1]
+    D = P.shape[0]
+    dtype = P.dtype
 
     if axis_name is not None:
         nb = jax.lax.axis_size(axis_name)
@@ -268,6 +282,7 @@ def accumulate_update(
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bi * Fl, Fl, axis=0)
         positions_l, obs_l, use_l = sl(positions), sl(obs), sl(use_masks)
     else:
+        Fl = F
         positions_l, obs_l, use_l = positions, obs, use_masks
 
     def one(p_w, ob, um):
@@ -294,18 +309,50 @@ def accumulate_update(
         nb = jax.lax.axis_size(axis_name)
         bi = jax.lax.axis_index(axis_name)
         include_l = jax.lax.dynamic_slice_in_dim(
-            include, bi * (F // nb), F // nb, axis=0
+            include, bi * Fl, Fl, axis=0
         )
     else:
         include_l = include
 
-    # One big MXU contraction over all (feature, row) pairs; include-mask
-    # weights are 0/1 so this is exactly sum_j H~_j^T H~_j over included j.
-    w = include_l.astype(P.dtype)
-    Hw = Hps * w[:, None, None]
-    M = jnp.einsum("fri,frj->ij", Hw, Hps)
-    m = jnp.einsum("fri,fr->i", Hw, rps)
-    if axis_name is not None:
-        M = jax.lax.psum(M, axis_name)
-        m = jax.lax.psum(m, axis_name)
-    return M, m, include
+    # Scatter-compact the contributing (feature, clone) 4-row blocks into
+    # the fixed buffer; excluded blocks get an out-of-range destination,
+    # which XLA scatter drops.
+    NB = budget_blocks(params)
+    block_used = use_l & include_l[:, None]                  # (Fl, N)
+    flat_used = block_used.reshape(Fl * N)
+    dest = jnp.cumsum(flat_used) - 1                         # prefix index
+    dest = jnp.where(flat_used, dest, NB)                    # drop excluded
+
+    H_blocks = Hps.reshape(Fl, N, 4, D).reshape(Fl * N, 4, D)
+    r_blocks = rps.reshape(Fl, N, 4).reshape(Fl * N, 4)
+    Hc = jnp.zeros((NB, 4, D), dtype).at[dest].set(
+        H_blocks, mode="drop"
+    ).reshape(NB * 4, D)
+    rc = jnp.zeros((NB, 4), dtype).at[dest].set(
+        r_blocks, mode="drop"
+    ).reshape(NB * 4)
+    return Hc, rc, include
+
+
+def tsqr_reduce_update(state: FilterState, Hc, rc, params: MsckfParams,
+                       axis_name=None):
+    """Apply the update, reducing shard-local stacks with a TSQR tree when
+    `axis_name` is set (the distributed analog of the reference's single
+    tall QR, msckf.py:549-553, over the ICI mesh; SURVEY.md section 2.4).
+
+    Each shard QR-compresses its local (rows, D) buffer to a (D, D)
+    triangle + rotated residual; the triangles are all-gathered and the
+    stacked (n_shards * D, D) matrix is QR'd once more — algebraically the
+    R factor of the full row stack, since row-block concatenation order
+    does not change H^T H.
+    """
+    if axis_name is None:
+        return qr_update(state, Hc, rc, params)
+    D = state.P.shape[0]
+    Q1, R1 = jnp.linalg.qr(Hc)               # local compress
+    z1 = Q1.T @ rc
+    Rs = jax.lax.all_gather(R1, axis_name)   # (nb, D, D)
+    zs = jax.lax.all_gather(z1, axis_name)   # (nb, D)
+    return qr_update(
+        state, Rs.reshape(-1, D), zs.reshape(-1), params
+    )

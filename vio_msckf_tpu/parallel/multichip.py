@@ -10,11 +10,10 @@ design:
     cross this axis.
   * mesh axis ``block`` — feature-block parallelism *inside* each filter:
     the per-feature heavy math (triangulation LM, measurement Jacobians,
-    chi-square gating) is sliced over the feature table; the information
-    accumulators M = sum H~^T H~ and m = sum H~^T r~ are reduced with
-    `lax.psum` over ICI (see filter/update.py: accumulate_update), which is
-    mathematically the distributed Schur/information-form reduction of the
-    reference's QR-compressed update (msckf.py:549-563).
+    chi-square gating) is sliced over the feature table; each shard
+    QR-compresses its local row stack and the (D, D) triangles are reduced
+    with a TSQR tree over ICI (filter/update.py: tsqr_reduce_update) — the
+    distributed form of the reference's tall QR (msckf.py:549-563).
 
 Everything is built on `jax.shard_map` over a `jax.sharding.Mesh`, so the
 same code path runs on a virtual CPU mesh (tests, driver dryrun) and on a
