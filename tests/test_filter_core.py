@@ -274,11 +274,13 @@ def test_full_update_matches_oracle_geometric(cfg, params, rng):
     process = n_obs >= 3
     dofs = np.maximum(n_obs - 1, 1)
 
+    slots = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None, :], (F, 1))
     Hc, rc, include = stack_update(
         state, params,
         positions=jnp.asarray(positions, jnp.float32),
         obs=jnp.asarray(obs, jnp.float32),
         use_masks=jnp.asarray(obs_valid),
+        clone_slots=slots,
         process_mask=jnp.asarray(process),
         dofs=jnp.asarray(dofs, jnp.int32),
     )

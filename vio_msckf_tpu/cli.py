@@ -262,12 +262,60 @@ def run_msckf_demo(args, log):
     return 0
 
 
+def write_eskf_plots(prefix, times, outs, log):
+    """State/covariance trace plots matching the reference's ESKF output
+    (ESKF/eskf_vio.py:187-259: position, velocity, biases, gravity traces
+    + covariance trace)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.asarray(times) - times[0]
+    panels = [
+        ("position [m]", np.stack([np.asarray(o["p"]) for o in outs]),
+         ("x", "y", "z")),
+        ("velocity [m/s]", np.stack([np.asarray(o["v"]) for o in outs]),
+         ("x", "y", "z")),
+        ("acc bias", np.stack([np.asarray(o["a_b"]) for o in outs]),
+         ("x", "y", "z")),
+        ("gyro bias", np.stack([np.asarray(o["w_b"]) for o in outs]),
+         ("x", "y", "z")),
+        ("gravity [m/s^2]", np.stack([np.asarray(o["g"]) for o in outs]),
+         ("x", "y", "z")),
+    ]
+    fig, axes = plt.subplots(len(panels), 1, figsize=(9, 3 * len(panels)),
+                             sharex=True)
+    for ax, (name, data, labels) in zip(axes, panels):
+        for i, lab in enumerate(labels):
+            ax.plot(t, data[:, i], label=lab)
+        ax.set_ylabel(name)
+        ax.legend(loc="upper right", fontsize=8)
+        ax.grid(alpha=0.3)
+    axes[-1].set_xlabel("time [s]")
+    fig.tight_layout()
+    state_png = f"{prefix}_states.png"
+    fig.savefig(state_png, dpi=110)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(9, 3))
+    ax.plot(t, [float(o["cov_trace"]) for o in outs])
+    ax.set_ylabel("trace(P)")
+    ax.set_xlabel("time [s]")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    cov_png = f"{prefix}_cov_trace.png"
+    fig.savefig(cov_png, dpi=110)
+    plt.close(fig)
+    log.info("ESKF trace plots -> %s, %s", state_png, cov_png)
+
+
 def run_eskf(args, log):
     import jax
     import jax.numpy as jnp
 
     from vio_msckf_tpu.config import euroc_config
     from vio_msckf_tpu.eskf import EskfVio
+    from vio_msckf_tpu.utils.metrics import ate_rmse
 
     cfg = euroc_config()
     vio = EskfVio(cfg)
@@ -289,6 +337,7 @@ def run_eskf(args, log):
         acc0 = frames["imu_acc"][1][frames["imu_valid"][1]][0]
         carry = vio.init(acc0)
         step = jax.jit(vio.step)
+        outs = []
         for k in range(n):
             frame = dict(
                 cam0_img=cam0[k], cam1_img=cam1[k],
@@ -298,12 +347,22 @@ def run_eskf(args, log):
                 imu_valid=jnp.asarray(frames["imu_valid"][k]),
             )
             carry, out = step(carry, frame)
+            outs.append(out)
             if k % 10 == 0:
                 log.info(
                     "frame %d: inliers %d/%d |p|=%.3f", k,
                     int(out["n_inliers"]), int(out["n_matches"]),
                     float(np.linalg.norm(np.asarray(out["p"]))),
                 )
+        est = np.stack([np.asarray(o["p"]) for o in outs])
+        # The ESKF estimates in the rectified-cam frame starting at the
+        # first frame; compare SE3-aligned (Umeyama) like the reference's
+        # qualitative plots (eskf_vio.py:187-216) but quantified.
+        gt = seq["gt_p"][first:first + n]
+        ate = ate_rmse(est, gt, align=True)
+        log.info("ESKF ATE RMSE (SE3-aligned, synthetic): %.4f m", ate)
+        print(f"eskf_ate_rmse_m {ate:.4f}")
+        write_eskf_plots(args.out or "eskf", frames["timestamp"], outs, log)
         return 0
 
     from vio_msckf_tpu.data.euroc import EuRoCSequence, bundle_euroc_frames
@@ -316,6 +375,7 @@ def run_eskf(args, log):
     acc0 = frames["imu_acc"][1][acc_valid][0]
     carry = vio.init(acc0)
     step = jax.jit(vio.step)
+    outs = []
     for k in range(n):
         img0 = jnp.asarray(seq.load_image(first + k, cam=0), jnp.float32)
         img1 = jnp.asarray(seq.load_image(first + k, cam=1), jnp.float32)
@@ -327,10 +387,18 @@ def run_eskf(args, log):
             imu_valid=jnp.asarray(frames["imu_valid"][k]),
         )
         carry, out = step(carry, frame)
+        outs.append(out)
         # per-frame inlier line, mirroring eskf_vio.py:159-162
         log.info("%d/%d inliers, |v|=%.4f", int(out["n_inliers"]),
                  int(out["n_matches"]),
                  float(np.linalg.norm(np.asarray(out["v"]))))
+    est = np.stack([np.asarray(o["p"]) for o in outs])
+    gt = seq.gt_aligned_positions(frame_times)
+    if gt is not None:
+        ate = ate_rmse(est, gt, align=True)
+        log.info("ESKF ATE RMSE (SE3-aligned): %.4f m", ate)
+        print(f"eskf_ate_rmse_m {ate:.4f}")
+    write_eskf_plots(args.out or "eskf", frame_times, outs, log)
     return 0
 
 

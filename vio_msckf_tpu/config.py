@@ -85,6 +85,12 @@ class FilterConfig:
     frame_rate: float = 20.0
     max_cam_state_size: int = 20           # clone window N_MAX, config.py:57
     position_std_threshold: float = 8.0    # online-reset gate, config.py:64
+    # Post-ONLINE-reset velocity variance (m^2/s^2). The reference reuses
+    # the init value 0.25 (msckf.py:884 -> reset_state_cov), which keeps a
+    # wrong nominal velocity nearly certain after a divergence-triggered
+    # reset and turns transient glitches into permanent dead-reckoning;
+    # 25.0 (5 m/s std) lets subsequent updates pull the velocity back.
+    online_reset_velocity_cov: float = 25.0
     # Keyframe redundancy thresholds (config.py:67-69; the reference also
     # hard-codes these at msckf.py:717 — single source of truth here).
     rotation_threshold: float = 0.2618
@@ -96,6 +102,11 @@ class FilterConfig:
     init_imu_samples: int = 200
     # Fixed-shape capacities (new: TPU design).
     max_features: int = 160        # feature-map slots (map_server capacity)
+    # Lost-feature candidates triangulated/gated per frame. Candidates
+    # beyond this are dropped from the update (still cleared from the
+    # map) — same information-only loss as the reference's 1500-row cap,
+    # which admits at most ~125 (and typically ~19) features anyway.
+    max_lost_candidates: int = 64
     imu_per_frame: int = 16        # padded IMU samples per frame bundle (~10 real at 200 Hz IMU, 20 Hz cam)
 
 

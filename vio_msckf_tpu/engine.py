@@ -28,6 +28,15 @@ class VIOEngine:
         state, fmap = self.kf.init(q0, bg0, gravity)
         return (ts, state, fmap)
 
+    def reset(self, carry):
+        """Full system reset (reference MSCKF.reset, msckf.py:832-857 +
+        the front-end's first-frame re-init): fresh tracker state and a
+        fresh filter keeping the current extrinsics estimate."""
+        _, state, fmap = carry
+        ts = self.tracker.init()
+        state, fmap = self.kf.reset(state, fmap)
+        return (ts, state, fmap)
+
     def step(self, carry, frame):
         """One stereo frame end to end.
 

@@ -88,18 +88,42 @@ def _from_two_vectors_np(v0, v1):
 
 def remove_lost_features(state, fmap, params, axis_name=None):
     """Triangulate + batch-update the features that lost track this frame
-    (msckf.py:616-689), then drop them from the map."""
+    (msckf.py:616-689), then drop them from the map.
+
+    Perf: only the lost CANDIDATES need triangulation, Jacobians, and
+    gating — a handful per frame, not the whole 160-slot table. They are
+    gather-compacted (stable feature order) into a C-slot buffer first;
+    the heavy math runs at C = max_lost_candidates lanes. Overflow beyond
+    C loses its update contribution but is still cleared — the same
+    information-only loss as the reference's 1500-row cap.
+    """
     cfg = params.config
+    F = fmap.valid.shape[0]
+    N = state.clone_q.shape[0]
     cur_slot = state.n_clones - 1
     observed_now = fmap.obs_valid[:, cur_slot] & (cur_slot >= 0)
     lost = fmap.valid & ~observed_now
 
-    n_obs = jnp.sum(fmap.obs_valid, axis=1)
-    drop_few = lost & (n_obs < 3)              # msckf.py:627-629
+    n_obs_full = jnp.sum(fmap.obs_valid, axis=1)
+    drop_few = lost & (n_obs_full < 3)         # msckf.py:627-629
     candidates = lost & ~drop_few
 
+    C = min(cfg.filter.max_lost_candidates, F)
+    order = jnp.cumsum(candidates) - 1
+    dest = jnp.where(candidates & (order < C), order, C)
+    idx = jnp.zeros((C,), jnp.int32).at[dest].set(
+        jnp.arange(F, dtype=jnp.int32), mode="drop"
+    )
+    sel_valid = jnp.arange(C) < jnp.minimum(jnp.sum(candidates), C)
+
+    obs_c = fmap.obs[idx]
+    ov_c = fmap.obs_valid[idx] & sel_valid[:, None]
+    init_c = fmap.initialized[idx] & sel_valid
+    pos_c = fmap.position[idx]
+    n_obs_c = jnp.sum(ov_c, axis=1)
+
     positions, tri_ok = triangulate_all(
-        fmap.obs, fmap.obs_valid, state.clone_q, state.clone_p,
+        obs_c, ov_c, state.clone_q, state.clone_p,
         params.R_cam0_cam1, params.t_cam0_cam1, cfg.triangulation,
         axis_name=axis_name,
     )
@@ -108,29 +132,27 @@ def remove_lost_features(state, fmap, params, axis_name=None):
             o, ov, state.clone_q, state.clone_p,
             cfg.triangulation.translation_threshold,
         )
-    )(fmap.obs, fmap.obs_valid)
+    )(obs_c, ov_c)
 
-    need_tri = candidates & ~fmap.initialized
-    newly_ok = need_tri & motion_ok & tri_ok
-    process = candidates & (fmap.initialized | newly_ok)
-    # Always prefer the FRESH triangulation when the solver converged.
-    # The reference keeps the first stored estimate once is_initialized
-    # (feature.py:292-294) — but a position triangulated many frames ago
-    # under low parallax injects the same error into every later update,
-    # and those correlated residuals compound into divergence (observed on
-    # slow trajectories). Re-linearizing against the current solution each
-    # time keeps the updates consistent; the feature position is not part
-    # of the state, so this is a strictly valid EKF re-linearization.
-    fresh = tri_ok
-    use_pos = jnp.where(fresh[:, None], positions, fmap.position)
+    newly_ok = ~init_c & motion_ok & tri_ok
+    process = sel_valid & (init_c | newly_ok)
+    # Initialized features keep their stored estimate; only the rest use
+    # the fresh triangulation (feature.py:292-294 / msckf.py:631-646).
+    # Round 2 re-linearized everything against a fresh solve each frame as
+    # a divergence workaround; the actual divergence was the f32
+    # information-form update (fixed by qr_update), and initialize-once
+    # lets the prune path skip triangulation almost entirely.
+    use_pos = jnp.where(init_c[:, None], pos_c, positions)
 
+    slots = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None, :], (C, 1))
     Hc, rc, _ = stack_update(
         state, params,
         positions=use_pos,
-        obs=fmap.obs,
-        use_masks=fmap.obs_valid,
+        obs=obs_c,
+        use_masks=ov_c,
+        clone_slots=slots,
         process_mask=process,
-        dofs=n_obs - 1,        # dof = #observing clones - 1 (msckf.py:671)
+        dofs=n_obs_c - 1,      # dof = #observing clones - 1 (msckf.py:671)
         axis_name=axis_name,
     )
     state = tsqr_reduce_update(state, Hc, rc, params, axis_name=axis_name)
@@ -169,7 +191,8 @@ def online_reset(state, fmap, params):
         s = s.replace(
             clone_valid=jnp.zeros(N, bool),
             n_clones=jnp.zeros((), jnp.int32),
-            P=reset_cov(params, s.P.dtype),
+            P=reset_cov(params, s.P.dtype,
+                        velocity_cov=cfg.filter.online_reset_velocity_cov),
         )
         # Scrub any non-finite nominal state (identity attitude / zero
         # kinematics is the only recoverable restart point).
@@ -237,6 +260,23 @@ class MSCKF:
         )
         fmap = init_feature_map(self.config, self.dtype)
         return state, fmap
+
+    def reset(self, state, fmap):
+        """Full reset to initial status (reference msckf.py:832-857):
+        fresh IMU nominal state KEEPING the current extrinsics estimate,
+        all clones and features cleared, covariance back to the init
+        pattern. The reference also re-arms its gravity/first-image flags
+        (is_gravity_set/is_first_img); in this frame-clocked design the
+        caller re-runs `initialize_gravity_and_bias` on fresh IMU data and
+        passes the result to a subsequent `init` — or continues from the
+        identity attitude this returns."""
+        new_state, new_fmap = self.init()
+        new_state = new_state.replace(
+            R_imu_cam0=state.R_imu_cam0,
+            t_cam0_imu=state.t_cam0_imu,
+            gravity=state.gravity,
+        )
+        return new_state, new_fmap
 
     def step(self, carry, frame):
         """One frame. `frame` is a dict with:

@@ -94,32 +94,62 @@ def prune_clones(
     involved = fmap.obs_valid & rm_mask[None, :]
     n_involved = jnp.sum(involved, axis=1)
 
-    # Triangulate the not-yet-initialized features with 2 involved obs,
-    # using every current clone (feature.py passes all cam states).
-    positions, tri_ok = triangulate_all(
-        fmap.obs, fmap.obs_valid, state.clone_q, state.clone_p,
+    # Triangulate ONLY the not-yet-initialized features with >= 2 involved
+    # obs (initialize_position gate, msckf.py:768-778; initialized features
+    # keep their stored estimate, feature.py:292-294). They are gather-
+    # compacted to C lanes first — after the window's first prune this set
+    # is nearly empty, so the LM while-loops exit immediately.
+    F = fmap.valid.shape[0]
+    need_tri = fmap.valid & (n_involved >= 2) & ~fmap.initialized
+    C = min(cfg.filter.max_lost_candidates, F)
+    order = jnp.cumsum(need_tri) - 1
+    dest = jnp.where(need_tri & (order < C), order, C)
+    idx = jnp.zeros((C,), jnp.int32).at[dest].set(
+        jnp.arange(F, dtype=jnp.int32), mode="drop"
+    )
+    sel_valid = jnp.arange(C) < jnp.minimum(jnp.sum(need_tri), C)
+    obs_c = fmap.obs[idx]
+    ov_c = fmap.obs_valid[idx] & sel_valid[:, None]
+
+    pos_c, tri_ok_c = triangulate_all(
+        obs_c, ov_c, state.clone_q, state.clone_p,
         params.R_cam0_cam1, params.t_cam0_cam1, cfg.triangulation,
         axis_name=axis_name,
     )
-    motion_ok = jax.vmap(
+    motion_ok_c = jax.vmap(
         lambda o, ov: check_motion_one(
             o, ov, state.clone_q, state.clone_p,
             cfg.triangulation.translation_threshold,
         )
-    )(fmap.obs, fmap.obs_valid)
+    )(obs_c, ov_c)
 
-    need_tri = fmap.valid & (n_involved >= 2) & ~fmap.initialized
-    newly_ok = need_tri & motion_ok & tri_ok
-    # Fresh triangulation when converged (see remove_lost_features for the
-    # rationale — stale positions correlate successive prune updates).
-    use_pos = jnp.where(tri_ok[:, None], positions, fmap.position)
+    # Scatter the compacted results back to feature slots.
+    scatter_idx = jnp.where(sel_valid, idx, F)
+    ok_c = sel_valid & motion_ok_c & tri_ok_c
+    newly_ok = jnp.zeros((F,), bool).at[scatter_idx].set(ok_c, mode="drop")
+    positions = fmap.position.at[scatter_idx].set(
+        jnp.where(ok_c[:, None], pos_c, fmap.position[idx]), mode="drop"
+    )
+    newly_ok = newly_ok & need_tri
+    use_pos = positions
     process = fmap.valid & (n_involved >= 2) & (fmap.initialized | newly_ok)
+
+    # Only the <= 2 involved clones contribute rows (msckf.py:778-795):
+    # gather them so each feature's system is 8 rows, not 4N — the gating
+    # factorization drops from (4N)^2 to 8^2.
+    slots2 = jnp.argsort(~involved, axis=1, stable=True)[:, :2]
+    slots2 = slots2.astype(jnp.int32)
+    m2 = jnp.take_along_axis(involved, slots2, axis=1)
+    obs2 = jnp.take_along_axis(
+        fmap.obs, slots2[:, :, None], axis=1
+    )
 
     Hc, rc, _ = stack_update(
         state, params,
         positions=use_pos,
-        obs=fmap.obs,
-        use_masks=involved,
+        obs=obs2,
+        use_masks=m2,
+        clone_slots=slots2,
         process_mask=process,
         dofs=n_involved,       # dof = #involved clones (msckf.py:789)
         axis_name=axis_name,

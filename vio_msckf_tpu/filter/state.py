@@ -123,14 +123,24 @@ def make_params(config: VIOConfig, dtype=jnp.float32) -> MsckfParams:
     )
 
 
-def reset_cov(params: MsckfParams, dtype=jnp.float32) -> jnp.ndarray:
+def reset_cov(params: MsckfParams, dtype=jnp.float32,
+              velocity_cov=None) -> jnp.ndarray:
     """Initial/reset covariance (reference reset_state_cov, msckf.py:820-830):
-    nonzero only on the 21x21 IMU/extrinsic diagonal pattern."""
+    nonzero only on the 21x21 IMU/extrinsic diagonal pattern.
+
+    `velocity_cov` overrides the velocity-block variance: the ONLINE reset
+    keeps the (possibly wrong) nominal velocity, and the reference's
+    0.25 m^2/s^2 makes the filter so sure of it that chi-square gating
+    rejects every measurement afterwards and the system dead-reckons away
+    (observed in round 2: a 55 m/s runaway surviving reset). Passing a
+    large variance lets the next updates pull the velocity back.
+    """
     D = params.config.state_dim
+    diag = params.init_cov_diag.astype(dtype)
+    if velocity_cov is not None:
+        diag = diag.at[6:9].set(jnp.asarray(velocity_cov, dtype))
     P = jnp.zeros((D, D), dtype)
-    return P.at[jnp.arange(21), jnp.arange(21)].set(
-        params.init_cov_diag.astype(dtype)
-    )
+    return P.at[jnp.arange(21), jnp.arange(21)].set(diag)
 
 
 def init_filter_state(

@@ -174,48 +174,52 @@ def triangulate_one(
 
     eye3 = jnp.eye(3, dtype=dtype)
 
-    def inner_body(_, carry):
-        x, cost, lam, delta_norm, reduced, A, b = carry
+    # Both LM loops are lax.while_loops so a converged solve exits early
+    # (the reference's `delta < precision` break, feature.py:276). Under
+    # the feature-table vmap the loops run until the LAST feature
+    # converges — still ~3-8x fewer iterations than the fixed 5x5
+    # schedule on typical frames, since the stereo seed is already close.
+    def inner_cond(carry):
+        j, x, cost, lam, delta_norm, reduced, A, b = carry
+        return (j < cfg.inner_loop_max_iteration) & ~reduced
+
+    def inner_body(carry):
+        j, x, cost, lam, delta_norm, reduced, A, b = carry
         delta = jnp.linalg.solve(A + lam * eye3, b)
         x_new = x - delta
         new_cost = _costs(Rv, tv, zv, x_new, view_valid)
         accept = new_cost < cost
-        # Only act while no reduction has been found this outer iter.
-        act = ~reduced
-        x = jnp.where(act & accept, x_new, x)
-        cost = jnp.where(act & accept, new_cost, cost)
+        x = jnp.where(accept, x_new, x)
+        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
-            act,
-            jnp.where(
-                accept,
-                jnp.maximum(lam / 10.0, 1e-10),
-                jnp.minimum(lam * 10.0, 1e12),
-            ),
-            lam,
+            accept,
+            jnp.maximum(lam / 10.0, 1e-10),
+            jnp.minimum(lam * 10.0, 1e12),
         )
-        delta_norm = jnp.where(act, jnp.linalg.norm(delta), delta_norm)
+        delta_norm = jnp.linalg.norm(delta)
         reduced = reduced | accept
-        return x, cost, lam, delta_norm, reduced, A, b
+        return j + 1, x, cost, lam, delta_norm, reduced, A, b
 
-    def outer_body(_, carry):
-        x, cost, lam, delta_norm = carry
-        active = delta_norm > cfg.estimation_precision
-        A, b = _normal_equations(Rv, tv, zv, x, view_valid, cfg.huber_epsilon)
-        inner0 = (x, cost, lam, delta_norm, jnp.asarray(False), A, b)
-        x_n, cost_n, lam_n, dn_n, _, _, _ = jax.lax.fori_loop(
-            0, cfg.inner_loop_max_iteration, inner_body, inner0
+    def outer_cond(carry):
+        i, x, cost, lam, delta_norm = carry
+        return (i < cfg.outer_loop_max_iteration) & (
+            delta_norm > cfg.estimation_precision
         )
-        x = jnp.where(active, x_n, x)
-        cost = jnp.where(active, cost_n, cost)
-        lam = jnp.where(active, lam_n, lam)
-        delta_norm = jnp.where(active, dn_n, delta_norm)
-        return x, cost, lam, delta_norm
 
-    init = (x0, cost0, jnp.asarray(cfg.initial_damping, dtype),
+    def outer_body(carry):
+        i, x, cost, lam, delta_norm = carry
+        A, b = _normal_equations(Rv, tv, zv, x, view_valid, cfg.huber_epsilon)
+        inner0 = (jnp.zeros((), jnp.int32), x, cost, lam, delta_norm,
+                  jnp.asarray(False), A, b)
+        _, x, cost, lam, delta_norm, _, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, inner0
+        )
+        return i + 1, x, cost, lam, delta_norm
+
+    init = (jnp.zeros((), jnp.int32), x0, cost0,
+            jnp.asarray(cfg.initial_damping, dtype),
             jnp.asarray(jnp.inf, dtype))
-    x, _, _, _ = jax.lax.fori_loop(
-        0, cfg.outer_loop_max_iteration, outer_body, init
-    )
+    _, x, _, _, _ = jax.lax.while_loop(outer_cond, outer_body, init)
 
     rho = jnp.where(jnp.abs(x[2]) > _SAFE, x[2], _SAFE)
     p_anchor = jnp.array([x[0] / rho, x[1] / rho, 1.0 / rho], dtype)

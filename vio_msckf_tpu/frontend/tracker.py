@@ -38,7 +38,7 @@ from vio_msckf_tpu.config import VIOConfig
 from vio_msckf_tpu.math import axis_angle_to_rot, skew
 from vio_msckf_tpu.ops.distortion import distort_points, undistort_points
 from vio_msckf_tpu.ops.fast import fast_score_map, detect_grid_features
-from vio_msckf_tpu.ops.klt import FlatPyramid, prepare_pyramid, pyramidal_lk
+from vio_msckf_tpu.ops.klt import FlatPyramid, lk_verify, prepare_pyramid, pyramidal_lk
 from vio_msckf_tpu.ops.pyramid import build_pyramid
 
 import numpy as np
@@ -137,36 +137,30 @@ class StereoTracker:
         h = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], axis=1) @ Hm.T
         return h[:, 0:2] / jnp.maximum(h[:, 2:3], 1e-9)
 
-    def _stereo_match(self, pyr0, pyr1, cam0_pts, active):
-        """image.py:554-638. Returns (cam1_pts, inliers)."""
-        fe = self.config.frontend
+    def _stereo_predict(self, cam0_pts):
+        """Rotation-only prediction into cam1 (image.py:566-578)."""
         cam0, cam1 = self.config.cam0, self.config.cam1
-
-        # Rotation-only prediction into cam1.
         und = undistort_points(
             cam0_pts, cam0.intrinsics, cam0.distortion_model,
             cam0.distortion_coeffs,
             rectification_matrix=jnp.asarray(self.R_cam0_cam1),
         )
-        cam1_init = distort_points(
+        return distort_points(
             und, cam1.intrinsics, cam1.distortion_model,
             cam1.distortion_coeffs,
         )
 
-        cam1_pts, st_fwd, _ = pyramidal_lk(
-            pyr0, pyr1, cam0_pts, cam1_init,
-            fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
-        )
-        cam0_back, _, _ = pyramidal_lk(
-            pyr1, pyr0, cam1_pts, cam0_pts,
-            fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
-        )
-        err = jnp.linalg.norm(cam0_pts - cam0_back, axis=1)
+    def _stereo_gates(self, cam0_pts, cam1_pts, cam1_init, back_err,
+                      active):
+        """Stereo inlier gates (image.py:554-638): backward-consistency
+        error, vertical disparity, bounds, essential-matrix epipolar."""
+        fe = self.config.frontend
+        cam0, cam1 = self.config.cam0, self.config.cam1
         disparity = jnp.abs(cam1_init[:, 1] - cam1_pts[:, 1])
 
         inliers = (
-            active & st_fwd
-            & (err < fe.stereo_backward_err_px)
+            active
+            & (back_err < fe.stereo_backward_err_px)
             & (disparity < fe.stereo_disparity_max_px)
             & self._in_bounds(cam1_pts)
         )
@@ -187,10 +181,9 @@ class StereoTracker:
         dot = jnp.sum(jnp.concatenate([p1n, ones], axis=1) * line, axis=1)
         line_norm = jnp.linalg.norm(line[:, 0:2], axis=1)
         epi_err = jnp.abs(dot) / jnp.maximum(line_norm, 1e-9)
-        inliers = inliers & (
+        return inliers & (
             epi_err <= fe.stereo_threshold * self.norm_pixel_unit
         )
-        return cam1_pts, inliers
 
     @staticmethod
     def _rank_in_cell(codes, priority, entry_valid, n_cells):
@@ -245,31 +238,24 @@ class StereoTracker:
             ts.pyr_prev, pyr0, ts.cam0_pts, pred,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
         )
-        # Forward-backward consistency: re-track curr->prev and require the
-        # round trip to land back on the original point. This replaces the
-        # reference's unimplemented 2-pt RANSAC slot (image.py:292-313) as
-        # the temporal outlier gate — without it, a track that slid onto a
-        # different corner passes every stereo gate and poisons the filter.
-        back_pts, st_back, _ = pyramidal_lk(
-            pyr0, ts.pyr_prev, tracked_pts, ts.cam0_pts,
-            fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
-        )
-        fb_err = jnp.linalg.norm(back_pts - ts.cam0_pts, axis=1)
-        fb_ok = st_back & (fb_err < fe.temporal_backward_err_px)
-        survived = (ts.valid & ts.has_prev & st & fb_ok
-                    & self._in_bounds(tracked_pts))
+        survived0 = (ts.valid & ts.has_prev & st
+                     & self._in_bounds(tracked_pts))
 
         # --- detection under the occupancy mask (image.py:317-390) ---
         # Occupancy = scatter the surviving track points into the image grid,
         # then dilate by the suppression radius with a max-pool — one dense
         # pass, replacing the reference's per-feature mask painting
         # (image.py:326-330) and the round-1 serial per-track scan.
+        # Built from the pre-verification survivors: a track that fails the
+        # fwd-bwd or stereo gate below still suppresses re-detection near
+        # itself for one frame (documented divergence from image.py:326-330,
+        # which masks post-stereo-match features only).
         score = fast_score_map(pyr0_2d[0], fe.fast_threshold)
         Hh, Ww = score.shape
         ix = jnp.clip(tracked_pts[:, 0].astype(jnp.int32), 0, Ww - 1)
         iy = jnp.clip(tracked_pts[:, 1].astype(jnp.int32), 0, Hh - 1)
         # Invalid points scatter out of range and are dropped.
-        iy = jnp.where(survived, iy, Hh)
+        iy = jnp.where(survived0, iy, Hh)
         occ = jnp.zeros((Hh, Ww), bool).at[iy, ix].set(True, mode="drop")
         k = 2 * fe.mask_radius + 1
         occ = jax.lax.reduce_window(
@@ -289,8 +275,35 @@ class StereoTracker:
         # --- stereo matching: survivors + candidates in ONE batched pass
         #     (image.py:279-288 and image.py:354 ran two) ---
         sm_pts = jnp.concatenate([tracked_pts, cand_xy], axis=0)
-        sm_active = jnp.concatenate([survived, cand_valid], axis=0)
-        sm_cam1, sm_match = self._stereo_match(pyr0, pyr1, sm_pts, sm_active)
+        sm_active = jnp.concatenate([survived0, cand_valid], axis=0)
+        cam1_init = self._stereo_predict(sm_pts)
+        sm_cam1, st_fwd, _ = pyramidal_lk(
+            pyr0, pyr1, sm_pts, cam1_init,
+            fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
+        )
+
+        # --- ONE merged finest-level verification pass for both
+        #     backward-consistency checks (temporal fwd-bwd replacing the
+        #     reference's unimplemented 2-pt RANSAC slot, image.py:292-313;
+        #     stereo backward, image.py:585-588). Both start at converged
+        #     solutions, so the coarse levels add nothing. ---
+        (tb_pts, tb_st, _), (sb_pts, sb_st, _) = lk_verify(
+            pyr0, ts.pyr_prev,            # pair A: curr0 -> prev0
+            pyr1, pyr0,                   # pair B: curr1 -> curr0
+            tracked_pts, ts.cam0_pts,
+            sm_cam1, sm_pts,
+            fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
+        )
+        fb_err = jnp.linalg.norm(tb_pts - ts.cam0_pts, axis=1)
+        fb_ok = tb_st & (fb_err < fe.temporal_backward_err_px)
+        survived = survived0 & fb_ok
+
+        sm_back_err = jnp.linalg.norm(sb_pts - sm_pts, axis=1)
+        sm_back_err = jnp.where(sb_st, sm_back_err, jnp.inf)
+        sm_match = self._stereo_gates(
+            sm_pts, sm_cam1, cam1_init, sm_back_err,
+            sm_active & st_fwd,
+        )
         cam1_pts, cand_cam1 = sm_cam1[:T], sm_cam1[T:]
         match, cand_match = sm_match[:T], sm_match[T:]
         survived = survived & match

@@ -122,10 +122,15 @@ def _resample(patch, off_xy, n_out):
 
 
 def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
-                 eps, min_eig_threshold):
+                 eps, min_eig_threshold, y_base=0):
     """One pyramid level for all features. pts_prev/guess: (P, 2) at this
     level's scale (image coordinates). flat_*: lane-row images, meta the
-    static (H, W, nb). Returns (guess (P, 2), ok (P,), lost (P,), err)."""
+    static (H, W, nb). Returns (guess (P, 2), ok (P,), lost (P,), err).
+
+    `y_base` (scalar or (P,) int32) is a per-point padded-ROW offset into
+    `flat_*`, letting several same-shape images ride stacked in one buffer
+    (row index = (y + y_base) * nb + b) — used by `lk_verify` to run two
+    image pairs in one batched pass."""
     H, W, nb = meta
     Hp = H + 2 * _PAD
     r = win // 2
@@ -143,7 +148,7 @@ def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
         (jnp.floor(ptp[:, 0]).astype(jnp.int32) - (gwin // 2)) // 128,
         0, nb - 2,
     )
-    patch_t = _gather_rows(flat_prev, nb, y0t, b0t, ty)
+    patch_t = _gather_rows(flat_prev, nb, y0t + y_base, b0t, ty)
     off_t = jnp.stack(
         [ptp[:, 0] - (128 * b0t).astype(dt) - (r + 1),
          ptp[:, 1] - y0t.astype(dt) - (r + 1)], axis=1,
@@ -176,7 +181,7 @@ def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
         (jnp.floor(gp[:, 0]).astype(jnp.int32) - (_NY // 2 - 5)) // 128,
         0, nb - 2,
     )
-    wide = _gather_rows(flat_next, nb, y0n, b0n, _NY)   # (P, NY, 256)
+    wide = _gather_rows(flat_next, nb, y0n + y_base, b0n, _NY)  # (P,NY,256)
     # Narrow 256 -> NY columns around the window (integer shift, one-hot
     # contraction) so the per-iteration resample contracts over NY not 256.
     offx0 = gp[:, 0] - (128 * b0n).astype(dt) - r
@@ -287,3 +292,61 @@ def pyramidal_lk(
         & (guess[:, 1] >= 0) & (guess[:, 1] <= H - 1)
     )
     return guess, status & inb, err
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def lk_verify(
+    pyr_prev_a, pyr_next_a,   # image pair A (FlatPyramid)
+    pyr_prev_b, pyr_next_b,   # image pair B (same resolution)
+    pts_a, init_a,            # (Pa, 2) points + guesses for pair A
+    pts_b, init_b,            # (Pb, 2) points + guesses for pair B
+    win: int = 15,
+    iters: int = 30,
+    eps: float = 0.01,
+    min_eig_threshold: float = 1e-4,
+):
+    """One finest-level LK pass over TWO image pairs batched together —
+    the backward-consistency checks (temporal fwd-bwd, image.py:292-313
+    replacement; stereo backward, image.py:585-588) both start AT an
+    already-converged solution, so the coarse pyramid levels add nothing:
+    a single level-0 refinement either lands back on the seed (pass) or
+    drifts past the _MAX_MOVE margin / fails to converge (fail). Batching
+    the two pairs into one pass halves the sequential-iteration bill —
+    per-iteration cost is lane-parallel over points.
+
+    Both pairs stack into one lane-row buffer; per-point padded-row bases
+    select the image (see _track_level's y_base).
+
+    Returns ((pts (Pa,2), status, err), (pts (Pb,2), status, err)).
+    """
+    meta = pyr_prev_a.metas[0]
+    H, W, nb = meta
+    Hp = H + 2 * _PAD
+    Pa = pts_a.shape[0]
+    Pb = pts_b.shape[0]
+
+    flat_prev = jnp.concatenate(
+        [pyr_prev_a.flats[0], pyr_prev_b.flats[0]], axis=0
+    )
+    flat_next = jnp.concatenate(
+        [pyr_next_a.flats[0], pyr_next_b.flats[0]], axis=0
+    )
+    pts = jnp.concatenate([pts_a, pts_b], axis=0)
+    init = jnp.concatenate([init_a, init_b], axis=0)
+    y_base = jnp.concatenate(
+        [jnp.zeros((Pa,), jnp.int32), jnp.full((Pb,), Hp, jnp.int32)]
+    )
+
+    guess, ok, lost, err = _track_level(
+        flat_prev, flat_next, meta, pts, init, win, iters, eps,
+        min_eig_threshold, y_base=y_base,
+    )
+    inb = (
+        (guess[:, 0] >= 0) & (guess[:, 0] <= W - 1)
+        & (guess[:, 1] >= 0) & (guess[:, 1] <= H - 1)
+    )
+    status = ok & ~lost & inb
+    return (
+        (guess[:Pa], status[:Pa], err[:Pa]),
+        (guess[Pa:], status[Pa:], err[Pa:]),
+    )
