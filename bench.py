@@ -197,13 +197,17 @@ def run_batched(cfg, name, batch, reps=3):
     }
 
 
-def run_scaling(reps=2, duration=6.0):
-    """Replica-scaling table on virtual CPU meshes (1/2/4/8 devices).
+def run_scaling(reps=2, duration=12.0):
+    """Replica-scaling table on virtual CPU meshes (1/2/4/8 devices),
+    using the FILTER step at full EuRoC filter shapes (D=141 covariance,
+    160-feature table, simulator feature tracks — no renderer, so the CPU
+    compile stays tractable; the front-end has no cross-replica coupling
+    anyway, so the estimator is where sharding overhead can appear).
 
     All virtual devices share the same host cores, so this measures the
     sharding/collective overhead floor, not real ICI speedup — the table's
-    value is (a) the multichip path executing at EuRoC shapes and (b) the
-    overhead of shard_map + TSQR reduction staying small.
+    value is (a) the multichip path executing at full filter shapes and
+    (b) the shard_map overhead staying small.
     """
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -212,19 +216,28 @@ def run_scaling(reps=2, duration=6.0):
     jax = _setup_jax(platform="cpu")
     import jax.numpy as jnp
     from vio_msckf_tpu.config import euroc_config
+    from vio_msckf_tpu.data.simulator import (
+        SimConfig, simulate_sequence, bundle_frames,
+    )
     from vio_msckf_tpu.parallel import make_mesh, \
-        make_multichip_engine_step, shard_batch
-    from vio_msckf_tpu.engine import VIOEngine
+        make_multichip_filter_step, shard_batch
 
     cfg = euroc_config()
-    B = 8  # total sequences, fixed across mesh sizes (weak scaling per dev)
-    eng = VIOEngine(cfg)
+    B = 8  # total sequences, fixed across mesh sizes (strong scaling)
     frames_list, carries = [], []
+    from vio_msckf_tpu.filter.msckf import MSCKF
+    kf0 = MSCKF(cfg)
     for b in range(B):
-        device_frames, init, gt, n = build_workload(
-            cfg, sim_overrides=dict(seed=4 + b), duration=duration)
-        frames_list.append(device_frames)
-        carries.append(eng.init(init["q0"], init["bg0"], init["gravity"]))
+        sim = SimConfig(duration=duration, seed=4 + b,
+                        amp=(1.5, 1.0, 0.5), yaw_rate=0.2, wobble_amp=0.1)
+        seq = simulate_sequence(cfg, sim)
+        frames, init, first = bundle_frames(seq, cfg)
+        n = len(frames["timestamp"])
+        frames_list.append({
+            k: jnp.asarray(v) for k, v in frames.items()
+            if k != "timestamp"
+        })
+        carries.append(kf0.init(init["q0"], init["bg0"], init["gravity"]))
     frames_b = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *frames_list)
     carry_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
@@ -238,7 +251,7 @@ def run_scaling(reps=2, duration=6.0):
     rows = []
     for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(n_replica=n_dev, n_block=1)
-        step, _ = make_multichip_engine_step(cfg, mesh, use_block=False)
+        step, _ = make_multichip_filter_step(cfg, mesh, use_block=False)
         frames_scan = jax.tree_util.tree_map(
             lambda x: jax.device_put(
                 x, NamedSharding(mesh, P(None, "replica"))),

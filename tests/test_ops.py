@@ -169,3 +169,49 @@ def test_pyramid_shapes():
     assert [p.shape for p in pyr] == [
         (480, 752), (240, 376), (120, 188), (60, 94)
     ]
+
+
+def test_lk_verify_matches_separate_passes(rng):
+    """The merged finest-level verification pass (lk_verify) must agree
+    with two independent single-pair refinements on the same data."""
+    from vio_msckf_tpu.ops.klt import lk_verify, prepare_pyramid
+
+    img_a = _textured_image(rng)
+    img_b = _textured_image(rng, H=160, W=200)
+    shift = np.array([2.1, -1.4])
+    H, W = img_a.shape
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    from scipy.ndimage import map_coordinates
+
+    nxt_a = map_coordinates(
+        img_a, [yy - shift[1], xx - shift[0]], order=1, mode="nearest"
+    ).astype(np.float32)
+    nxt_b = map_coordinates(
+        img_b, [yy + shift[1], xx + shift[0]], order=1, mode="nearest"
+    ).astype(np.float32)
+
+    pts_a = rng.uniform([40, 40], [W - 40, H - 40], size=(24, 2)).astype(
+        np.float32)
+    pts_b = rng.uniform([40, 40], [W - 40, H - 40], size=(30, 2)).astype(
+        np.float32)
+
+    pyr = lambda im: prepare_pyramid(tuple(build_pyramid(jnp.asarray(im), 3)))
+    pa, na = pyr(img_a), pyr(nxt_a)
+    pb, nb = pyr(img_b), pyr(nxt_b)
+
+    # Start near the solution (verification passes always do).
+    init_a = pts_a + shift + rng.normal(size=pts_a.shape) * 0.5
+    init_b = pts_b - shift + rng.normal(size=pts_b.shape) * 0.5
+
+    (ga, sa, ea), (gb, sb, eb) = lk_verify(
+        pa, na, pb, nb,
+        jnp.asarray(pts_a), jnp.asarray(init_a.astype(np.float32)),
+        jnp.asarray(pts_b), jnp.asarray(init_b.astype(np.float32)),
+    )
+    ga, sa = np.asarray(ga), np.asarray(sa)
+    gb, sb = np.asarray(gb), np.asarray(sb)
+    assert sa.mean() > 0.8 and sb.mean() > 0.8
+    err_a = np.linalg.norm(ga[sa] - (pts_a[sa] + shift), axis=1)
+    err_b = np.linalg.norm(gb[sb] - (pts_b[sb] - shift), axis=1)
+    assert np.median(err_a) < 0.3, np.median(err_a)
+    assert np.median(err_b) < 0.3, np.median(err_b)

@@ -64,3 +64,31 @@ def test_loader_throughput_smoke(png_dir):
     count = sum(1 for _ in loader)
     loader.close()
     assert count == len(paths)
+
+
+def test_imu_bundling_overflow_warns():
+    """More pending IMU samples than the frame budget must be deferred to
+    the next frame (no loss) and surfaced as a warning (ADVICE r2)."""
+    import warnings
+    import numpy as np
+    from vio_msckf_tpu.data.bundling import bundle_imu_stream
+
+    # 200 Hz IMU, camera frames at 0, 0.05, 0.15 (one dropped at 0.10):
+    # the 0.15 frame has ~20 pending samples > M=16.
+    imu_t = np.arange(0.0, 0.2, 0.005)
+    S = len(imu_t)
+    gyro = np.tile(np.arange(S)[:, None], (1, 3)).astype(float)
+    acc = gyro + 1000.0
+    frames_t = np.array([0.0, 0.05, 0.15])
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g, a, dt, valid = bundle_imu_stream(imu_t, gyro, acc, frames_t, 16)
+    assert any("pending IMU" in str(x.message) for x in w)
+    # Frame 2 consumed exactly 16; none lost (the remainder would go to a
+    # following frame).
+    assert valid[2].sum() == 16
+    # The samples frame 2 consumed are the FIRST 16 pending ones.
+    consumed = g[2][valid[2]][:, 0]
+    assert consumed[0] == 11  # first sample after 0.05
+    assert np.all(np.diff(consumed) == 1)

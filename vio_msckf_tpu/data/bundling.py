@@ -8,6 +8,8 @@ frame consumes nothing (is_first_img, msckf.py:190-192). One implementation
 feeds both the synthetic simulator and the EuRoC CSV reader.
 """
 
+import warnings
+
 import numpy as np
 
 
@@ -17,6 +19,12 @@ def bundle_imu_stream(imu_t, gyro_s, acc_s, frames_t, max_per_frame):
     imu_t: (S,) sample timestamps. gyro_s/acc_s: (S, 3). frames_t: (Nf,)
     frame timestamps. Returns (gyro (Nf,M,3), acc (Nf,M,3), dt (Nf,M),
     valid (Nf,M)) float32/bool.
+
+    A frame with more than M pending samples (e.g. after a dropped camera
+    frame at 200 Hz IMU / 20 Hz camera) consumes the first M; the rest
+    stay in the stream and are integrated by the NEXT frame — no samples
+    are lost, but that frame's clone pose lags its image timestamp by the
+    deferred span, so the overflow is surfaced as a warning.
     """
     M = max_per_frame
     Nf = len(frames_t)
@@ -28,11 +36,15 @@ def bundle_imu_stream(imu_t, gyro_s, acc_s, frames_t, max_per_frame):
     if Nf == 0:
         return gyro, acc, dts, valid
 
+    overflow_frames = 0
     state_ts = frames_t[0]
     for k, ft in enumerate(frames_t):
         if k == 0:
             continue  # first frame processes no IMU (msckf.py:190-192)
-        sel = np.flatnonzero((imu_t >= state_ts) & (imu_t <= ft))[:M]
+        sel = np.flatnonzero((imu_t >= state_ts) & (imu_t <= ft))
+        if len(sel) > M:
+            overflow_frames += 1
+        sel = sel[:M]
         prev = state_ts
         for j, si in enumerate(sel):
             gyro[k, j] = gyro_s[si]
@@ -42,4 +54,11 @@ def bundle_imu_stream(imu_t, gyro_s, acc_s, frames_t, max_per_frame):
             prev = imu_t[si]
         if len(sel):
             state_ts = imu_t[sel[-1]] + 1e-9
+    if overflow_frames:
+        warnings.warn(
+            f"{overflow_frames}/{Nf} frames had more than {M} pending IMU "
+            "samples (dropped camera frames?); extras were deferred to the "
+            "next frame. Raise FilterConfig.imu_per_frame for headroom.",
+            stacklevel=2,
+        )
     return gyro, acc, dts, valid

@@ -189,14 +189,33 @@ class StereoTracker:
     def _rank_in_cell(codes, priority, entry_valid, n_cells):
         """rank[i] = #entries in the same cell with higher priority (stable
         by index) — vectorized replacement for the per-cell Python sorts
-        (image.py:209-217, 344-350, 398-404)."""
+        (image.py:209-217, 344-350, 398-404).
+
+        O(n log n): one lexicographic argsort on (valid desc, cell,
+        -priority, index) puts each cell's entries in rank order; an entry's
+        rank is its sorted position minus the start of its cell run.
+        Replaces the round-1/2 O(n^2) pairwise-comparison matrix.
+        """
         n = codes.shape[0]
-        same = (codes[:, None] == codes[None, :]) & entry_valid[None, :]
         idx = jnp.arange(n)
-        better = (priority[None, :] > priority[:, None]) | (
-            (priority[None, :] == priority[:, None]) & (idx[None, :] < idx[:, None])
+        # Invalid entries sort to the back and never affect valid ranks.
+        cell = jnp.where(entry_valid, codes, n_cells)
+        # Composite key: cell major, then priority desc, then index asc.
+        # Priorities are float; encode order via argsort of tuples using
+        # two stable passes (last key first).
+        order = jnp.argsort(-priority, stable=True)
+        order = order[jnp.argsort(cell[order], stable=True)]
+        # order: entries grouped by cell, best-first within each cell.
+        sorted_cell = cell[order]
+        pos = jnp.arange(n)
+        is_start = jnp.concatenate(
+            [jnp.ones(1, bool), sorted_cell[1:] != sorted_cell[:-1]]
         )
-        return jnp.sum(same & better, axis=1)
+        run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=0)
+        rank_sorted = pos - run_start
+        return jnp.zeros(n, jnp.int32).at[order].set(
+            rank_sorted.astype(jnp.int32)
+        )
 
     # -- the per-frame step ---------------------------------------------------
 

@@ -134,6 +134,13 @@ def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
     H, W, nb = meta
     Hp = H + 2 * _PAD
     r = win // 2
+    # The moving patch is _NY x _NY; the window plus the movement margin
+    # plus bilinear support must fit or out-of-range tent weights silently
+    # produce zero samples (ADVICE r2).
+    assert win + 2 * int(_MAX_MOVE) + 4 <= _NY, (
+        f"lk window {win} too large for the fixed patch (_NY={_NY}); "
+        "raise _NY in ops/klt.py"
+    )
     gwin = win + 2                     # template support for central diffs
     dt = jnp.float32
     pts_prev = pts_prev.astype(dt)

@@ -34,6 +34,11 @@ def pyr_down(img):
     """
     blurred = _blur_axis(_blur_axis(img, 0), 1)
     H, W = blurred.shape
+    if H % 2 or W % 2:
+        # The reshape decimation needs even dims; crop one row/col (the
+        # old [::2, ::2] silently sampled the same pixels anyway).
+        blurred = blurred[: H - H % 2, : W - W % 2]
+        H, W = blurred.shape
     return blurred.reshape(H // 2, 2, W // 2, 2)[:, 0, :, 0]
 
 
