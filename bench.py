@@ -59,7 +59,8 @@ def _setup_jax(platform=None):
     return jax
 
 
-def build_workload(cfg, sim_overrides=None, duration=12.0):
+def build_workload(cfg, sim_overrides=None, duration=12.0,
+                   render_augs=None):
     """Simulate + render one bench sequence; returns (device_frames,
     carry-init kwargs, gt positions, n_frames)."""
     import jax
@@ -80,7 +81,8 @@ def build_workload(cfg, sim_overrides=None, duration=12.0):
     t0 = time.time()
     R_stack = seq["gt_R_i_w"][first:first + n].transpose(0, 2, 1)
     p_stack = seq["gt_p"][first:first + n]
-    cam0, cam1 = render_sequence(cfg, R_stack, p_stack, radius=14.0, seed=7)
+    cam0, cam1 = render_sequence(cfg, R_stack, p_stack, radius=14.0, seed=7,
+                                 augs=render_augs)
     jax.block_until_ready(cam1)
     log(f"rendered {n} stereo frames in {time.time()-t0:.1f}s")
 
@@ -95,14 +97,16 @@ def build_workload(cfg, sim_overrides=None, duration=12.0):
     return device_frames, init, p_stack, n
 
 
-def run_single(cfg, name, sim_overrides=None, reps=3, check_ate=True):
+def run_single(cfg, name, sim_overrides=None, reps=3, check_ate=True,
+               render_augs=None):
     """One sequence through the scanned engine; returns the result dict."""
     import jax
     import jax.numpy as jnp
     from vio_msckf_tpu.engine import VIOEngine
     from vio_msckf_tpu.utils.metrics import ate_rmse
 
-    device_frames, init, gt, n = build_workload(cfg, sim_overrides)
+    device_frames, init, gt, n = build_workload(
+        cfg, sim_overrides, render_augs=render_augs)
     eng = VIOEngine(cfg)
     carry0 = eng.init(init["q0"], init["bg0"], init["gravity"])
     run = jax.jit(eng.run_sequence, donate_argnums=(0,))
@@ -333,6 +337,11 @@ def main():
     )
     results.append(run_single(
         big, "suite: MH_04/05-style enlarged window (30 clones)"))
+    from vio_msckf_tpu.data.render import HOSTILE_AUGS
+    results.append(run_single(
+        cfg, "suite: hostile world (flicker+noise+vignette+occluders)",
+        render_augs=HOSTILE_AUGS,
+    ))
     results.append(run_batched(
         cfg, "suite: 4-sequence vmapped throughput, 1 chip", batch=4))
     for r in results:

@@ -66,6 +66,41 @@ def test_noisy_tracking_bounded():
     assert rmse < 0.5, f"noisy ATE RMSE {rmse:.3f} m"
 
 
+def test_dropped_camera_frame_absorbed():
+    """Delete one camera frame mid-sequence: the next frame has ~20 pending
+    IMU samples (200 Hz IMU / 20 Hz camera). imu_per_frame=32 must absorb
+    the double bundle with NO deferral warning (data/bundling.py:57-63) and
+    the estimate must stay bounded through the gap."""
+    import warnings
+
+    cfg = euroc_config()
+    sim = SimConfig(duration=8.0, seed=5)
+    seq = simulate_sequence(cfg, sim)
+    drop = int(0.7 * len(seq["frame_t"]))  # mid-motion, well past init
+    for key in ("frame_t", "feat_ids", "feat_obs", "feat_valid",
+                "gt_p", "gt_v", "gt_R_i_w"):
+        seq[key] = np.delete(seq[key], drop, axis=0)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any deferral warning fails
+        frames, init, first = bundle_frames(seq, cfg)
+
+    counts = frames["imu_valid"].sum(axis=1)
+    assert counts.max() >= 19, "the dropped frame should double one bundle"
+    assert counts.max() <= cfg.filter.imu_per_frame
+
+    kf = MSCKF(cfg)
+    carry = kf.init(init["q0"], init["bg0"], init["gravity"])
+    device_frames = {
+        k: jnp.asarray(v) for k, v in frames.items() if k != "timestamp"
+    }
+    _, outs = jax.jit(kf.run_sequence)(carry, device_frames)
+    est_p = np.asarray(outs.p)
+    gt_p = seq["gt_p"][first:]
+    assert np.isfinite(est_p).all()
+    assert ate_rmse(est_p, gt_p, align=False) < 0.15
+
+
 def test_scan_matches_python_loop():
     """lax.scan over frames must equal the per-frame jitted loop."""
     cfg = euroc_config()

@@ -233,6 +233,57 @@ def test_gamma_matches_reference(rng):
     np.testing.assert_allclose(gamma, gamma_ref, rtol=2e-3)
 
 
+def test_gamma_rank_deficient_hf(rng):
+    """Degenerate feature geometry: H_f with column rank 2 (the monocular
+    pure-rotation failure mode). feature_gamma's eigenbasis rank guard must
+    (a) stay finite and nonnegative with a dead U column instead of leaning
+    on a regularized inverse, and (b) match a pseudo-inverse f64 oracle:
+    dropped modes contribute zero correction, so their residual energy
+    stays in gamma and the feature is rejected unless genuinely small."""
+    m, D = 16, 33
+    P_small = random_psd(rng, D, scale=0.1)
+    obs_noise = 0.035 ** 2
+    H = rng.normal(size=(m, D))
+    r = rng.normal(size=m)
+    # Rank-2 H_f; QR of an exactly rank-deficient matrix leaves a dangling
+    # basis column — emulate the degenerate-U case by zeroing it outright.
+    Hf = rng.normal(size=(m, 2)) @ rng.normal(size=(2, 3))
+    U, _ = np.linalg.qr(Hf)
+    U[:, 2] = 0.0
+    rp = r - U @ (U.T @ r)
+
+    gamma = float(
+        feature_gamma(
+            jnp.asarray(H, jnp.float32), jnp.asarray(rp, jnp.float32),
+            jnp.asarray(U, jnp.float32), jnp.asarray(P_small, jnp.float32),
+            obs_noise,
+        )
+    )
+    assert np.isfinite(gamma)
+    assert gamma >= 0.0
+
+    # f64 oracle: same statistic with an explicit pseudo-inverse of G.
+    B = H @ P_small @ H.T + obs_noise * np.eye(m)
+    Binv = np.linalg.inv(B)
+    G = U.T @ Binv @ U
+    gu = U.T @ Binv @ rp
+    gamma_ref = rp @ Binv @ rp - gu @ np.linalg.pinv(G, rcond=1e-5) @ gu
+    np.testing.assert_allclose(gamma, gamma_ref, rtol=5e-3)
+
+    # A residual component pushed along the projected-out (dead) direction
+    # is NOT credited back: gamma grows, i.e. the degenerate feature is
+    # rejected rather than silently accepted.
+    rp_big = rp + 10.0 * (np.eye(m) - U @ U.T) @ rng.normal(size=m)
+    gamma_big = float(
+        feature_gamma(
+            jnp.asarray(H, jnp.float32), jnp.asarray(rp_big, jnp.float32),
+            jnp.asarray(U, jnp.float32), jnp.asarray(P_small, jnp.float32),
+            obs_noise,
+        )
+    )
+    assert gamma_big > gamma
+
+
 def test_full_update_matches_oracle_geometric(cfg, params, rng):
     """End-to-end: geometric measurement Jacobians + gating + update in the
     jitted path vs the oracle running the reference algorithm in f64."""

@@ -215,3 +215,25 @@ def test_lk_verify_matches_separate_passes(rng):
     err_b = np.linalg.norm(gb[sb] - (pts_b[sb] - shift), axis=1)
     assert np.median(err_a) < 0.3, np.median(err_a)
     assert np.median(err_b) < 0.3, np.median(err_b)
+
+
+def test_fast_pallas_matches_xla(rng):
+    """The fused Pallas FAST+NMS kernel (interpret mode on CPU) must equal
+    the XLA score map exactly — same op order on the same f32 values."""
+    from vio_msckf_tpu.ops.fast_pallas import fast_score_map_pallas
+
+    # Structured texture + noise, EuRoC-sized and an odd non-strip-aligned
+    # size to exercise the row padding.
+    for H, W in ((480, 752), (100, 200)):
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        img = (
+            128.0
+            + 60.0 * np.sin(0.15 * u) * np.cos(0.11 * v)
+            + 20.0 * rng.standard_normal((H, W))
+        ).astype(np.float32)
+        ref = np.asarray(fast_score_map(jnp.asarray(img), 15.0))
+        got = np.asarray(
+            fast_score_map_pallas(jnp.asarray(img), 15.0, interpret=True)
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        assert (ref > 0).sum() > 50  # the comparison is not vacuous

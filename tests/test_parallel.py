@@ -79,6 +79,65 @@ def test_block_axis_divides_feature_table():
     assert cfg.filter.max_features % 4 == 0
 
 
+def test_sharded_engine_matches_vmap_full_shapes():
+    """Full ENGINE (stereo images in) at EuRoC shapes: the (replica=2,
+    block=2) shard_map step must reproduce the unsharded vmap engine pose-
+    for-pose over several rendered frames (VERDICT r3 item 5 — the engine
+    analog of test_sharded_step_matches_single_device)."""
+    from vio_msckf_tpu.engine import VIOEngine
+    from vio_msckf_tpu.parallel import make_multichip_engine_step
+    from vio_msckf_tpu.data.render import render_sequence
+
+    assert len(jax.devices()) >= 4
+    cfg = euroc_config()
+    n_run = 6
+    B = 2
+
+    frames_list, carries = [], []
+    eng_ref = VIOEngine(cfg)
+    for b in range(B):
+        sim = SimConfig(duration=3.0, seed=4 + b, amp=(1.5, 1.0, 0.5),
+                        yaw_rate=0.2, wobble_amp=0.1)
+        seq = simulate_sequence(cfg, sim)
+        frames, init, first = bundle_frames(seq, cfg)
+        R_stack = seq["gt_R_i_w"][first:first + n_run].transpose(0, 2, 1)
+        p_stack = seq["gt_p"][first:first + n_run]
+        cam0, cam1 = render_sequence(cfg, R_stack, p_stack, radius=14.0,
+                                     seed=7, chunk=n_run)
+        frames_list.append(dict(
+            cam0_img=cam0, cam1_img=cam1,
+            imu_gyro=jnp.asarray(frames["imu_gyro"][:n_run]),
+            imu_acc=jnp.asarray(frames["imu_acc"][:n_run]),
+            imu_dt=jnp.asarray(frames["imu_dt"][:n_run]),
+            imu_valid=jnp.asarray(frames["imu_valid"][:n_run]),
+        ))
+        carries.append(
+            eng_ref.init(init["q0"], init["bg0"], init["gravity"])
+        )
+    frames_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *frames_list
+    )  # (B, T, ...)
+    carry_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
+
+    mesh = make_mesh(n_replica=2, n_block=2)
+    step, _ = make_multichip_engine_step(cfg, mesh, use_block=True)
+    carry_s = shard_batch(mesh, carry_b)
+
+    ref_step = jax.jit(jax.vmap(eng_ref.step))
+    carry_r = jax.tree_util.tree_map(jnp.array, carry_b)
+
+    ps_s, ps_r = [], []
+    for k in range(n_run):
+        frame = jax.tree_util.tree_map(lambda v: v[:, k], frames_b)
+        carry_s, out_s = step(carry_s, shard_batch(mesh, frame))
+        carry_r, out_r = ref_step(carry_r, frame)
+        ps_s.append(np.asarray(out_s.p))
+        ps_r.append(np.asarray(out_r.p))
+    ps_s, ps_r = np.asarray(ps_s), np.asarray(ps_r)
+    assert np.isfinite(ps_s).all()
+    np.testing.assert_allclose(ps_s, ps_r, atol=5e-3)
+
+
 def test_tiny_engine_dryrun_compiles():
     """The driver's dryrun path: full engine step under a (replica, block)
     mesh on tiny shapes — compile and execute one step."""

@@ -78,6 +78,9 @@ def build_parser():
     ap.add_argument("--ratio", type=float, default=0.0,
                     help="real-time replay rate (0 = as fast as possible; "
                          "the reference ships 0.4, vio.py:100)")
+    ap.add_argument("--chunk", type=int, default=32,
+                    help="frames per scanned dispatch on the dataset path "
+                         "(headless as-fast-as-possible mode only)")
     ap.add_argument("--view", action="store_true",
                     help="live viewer process -> vio_live.png")
     ap.add_argument("--out", default=None,
@@ -150,12 +153,73 @@ def run_msckf_euroc(args, log):
         from vio_msckf_tpu.viewer import Viewer
         viewer = Viewer()
 
+    # As-fast-as-possible headless runs take the CHUNKED path: the C++
+    # prefetch ring feeds CHUNK-frame bundles that run as ONE lax.scan
+    # dispatch, with the next chunk decoded + device_put while the current
+    # chunk computes (double buffering). With ~25 ms of tunnel latency per
+    # dispatch (PROFILE.md), per-frame stepping is dispatch-bound at
+    # ~40 fps no matter how fast the chip is; chunking amortizes the
+    # latency across CHUNK frames (SURVEY.md section 2.4(c) — this is the
+    # device-feeding design the reference's publisher threads approximate,
+    # MSCKF/dataset.py:226-271). Real-time replay (--ratio) and the live
+    # viewer step per frame by their nature.
+    chunked = args.ratio <= 0 and viewer is None
+    CHUNK = min(args.chunk, max(n - start_k, 1))
+    run_chunk = jax.jit(eng.run_sequence, donate_argnums=(0,))
+
+    def host_chunk(k0, m):
+        c0 = np.empty((m, H, W), np.float32)
+        c1 = np.empty((m, H, W), np.float32)
+        for j in range(m):
+            c0[j] = load0(k0 + j)
+            c1[j] = load1(k0 + j)
+        return dict(
+            cam0_img=c0, cam1_img=c1,
+            imu_gyro=frames["imu_gyro"][k0:k0 + m],
+            imu_acc=frames["imu_acc"][k0:k0 + m],
+            imu_dt=frames["imu_dt"][k0:k0 + m],
+            imu_valid=frames["imu_valid"][k0:k0 + m],
+        )
+
     timer = StageTimer()
     outs = []
     wall0 = time.time()
     t0 = frame_times[start_k] if n else 0.0
     with maybe_profile(args.profile):
-        for k in range(start_k, n):
+        k = start_k
+        if chunked:
+            n_chunks = (n - start_k) // CHUNK
+            if n_chunks > 0:
+                with timer.stage("load"):
+                    dev = jax.device_put(host_chunk(start_k, CHUNK))
+            for ci in range(n_chunks):
+                with timer.stage("step"):
+                    carry, couts = run_chunk(carry, dev)  # async dispatch
+                # Decode + upload the NEXT chunk while this one computes.
+                if ci + 1 < n_chunks:
+                    with timer.stage("load"):
+                        dev = jax.device_put(
+                            host_chunk(start_k + (ci + 1) * CHUNK, CHUNK)
+                        )
+                with timer.stage("fetch"):
+                    p_c = np.asarray(couts.p)
+                    q_c = np.asarray(couts.q)
+                    v_c = np.asarray(couts.v)
+                for j in range(CHUNK):
+                    outs.append((p_c[j], q_c[j], v_c[j]))
+                k = start_k + (ci + 1) * CHUNK
+                if args.checkpoint and (
+                    (k - start_k) // CHUNK
+                ) % max(args.checkpoint_every // CHUNK, 1) == 0:
+                    save_checkpoint(args.checkpoint, carry, step=k)
+                    log.info("checkpoint @ frame %d -> %s", k,
+                             args.checkpoint)
+                if ci % 4 == 0:
+                    log.info("frame %d/%d p=%s", k, n,
+                             np.round(p_c[-1], 3))
+        # Per-frame path: the chunked run's tail, or the full sequence in
+        # replay/viewer mode.
+        for k in range(k, n):
             with timer.stage("load"):
                 img0 = load0(k)
                 img1 = load1(k)
@@ -195,6 +259,7 @@ def run_msckf_euroc(args, log):
     log.info("done: %d frames in %.1fs (%.1f fps)", n_done, wall,
              n_done / max(wall, 1e-9))
     log.info("stage timing:\n%s", timer.report())
+    print(f"dataset_fps {n_done / max(wall, 1e-9):.2f}")
 
     if viewer is not None:
         viewer.close()

@@ -59,6 +59,10 @@ class FrontendConfig:
     # Fixed-shape capacities (new: TPU design).
     max_tracks: int = 128        # track-table slots; >= grid_num * grid_max
     max_detections_per_cell: int = 8  # FAST candidates kept per grid cell
+    # FAST-9 implementation: "pallas" = fused score+NMS VMEM kernel
+    # (ops/fast_pallas.py, TPU only), "xla" = dense jnp version
+    # (ops/fast.py), "auto" = pallas on TPU, xla elsewhere.
+    fast_backend: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -107,7 +111,12 @@ class FilterConfig:
     # map) — same information-only loss as the reference's 1500-row cap,
     # which admits at most ~125 (and typically ~19) features anyway.
     max_lost_candidates: int = 64
-    imu_per_frame: int = 16        # padded IMU samples per frame bundle (~10 real at 200 Hz IMU, 20 Hz cam)
+    # Padded IMU samples per frame bundle: ~10 real at 200 Hz IMU / 20 Hz
+    # camera, sized with headroom so a dropped camera frame (~20 pending
+    # samples) still fits in one bundle instead of deferring to the next
+    # frame. The propagation scan is log-depth in this count
+    # (filter/propagation.py), so the extra padded steps are nearly free.
+    imu_per_frame: int = 32
 
 
 @dataclass(frozen=True)

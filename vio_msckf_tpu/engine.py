@@ -48,6 +48,8 @@ class VIOEngine:
             ts, frame["cam0_img"], frame["cam1_img"],
             frame["imu_gyro"], frame["imu_dt"], frame["imu_valid"],
         )
+        msg = dict(msg)
+        msg.pop("diag")  # tracker observability counters; filter-irrelevant
         kf_frame = dict(
             imu_gyro=frame["imu_gyro"],
             imu_acc=frame["imu_acc"],

@@ -176,8 +176,21 @@ def feature_gamma(H, rp, U, P, obs_noise):
     Binv_U = X[:, 1:]
     G = U.T @ Binv_U                                  # (3,3)
     gu = U.T @ Binv_rp                                # (3,)
-    correction = gu @ jnp.linalg.solve(G + 1e-12 * jnp.eye(3, dtype=H.dtype), gu)
-    return rp @ Binv_rp - correction
+    # Explicit rank guard (replacing an ad-hoc +1e-12 I regularizer): for
+    # degenerate feature geometry (e.g. pure-rotation view sets) H_f loses
+    # column rank, U picks up zero columns (feature_system masks them), and
+    # G is singular along those directions. Solve in G's eigenbasis and
+    # keep only well-conditioned modes; dropped modes contribute ZERO
+    # correction, so their residual energy stays in gamma — the statistic
+    # is conservatively too large and the feature is rejected rather than
+    # silently leaning on a regularizer. G is PSD, so gamma >= 0 holds
+    # mode-by-mode; clamp for f32 roundoff.
+    w, V = jnp.linalg.eigh((G + G.T) / 2.0)
+    keep = w > 1e-6 * jnp.maximum(w[-1], _SAFE)
+    winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    c = V.T @ gu
+    correction = c @ (winv * c)
+    return jnp.maximum(rp @ Binv_rp - correction, 0.0)
 
 
 # ---------------------------------------------------------------------------

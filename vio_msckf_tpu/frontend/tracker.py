@@ -153,17 +153,17 @@ class StereoTracker:
     def _stereo_gates(self, cam0_pts, cam1_pts, cam1_init, back_err,
                       active):
         """Stereo inlier gates (image.py:554-638): backward-consistency
-        error, vertical disparity, bounds, essential-matrix epipolar."""
+        error, vertical disparity, bounds, essential-matrix epipolar.
+
+        Returns (inliers, gates) where gates maps gate name -> per-point
+        pass mask (True = passed), for kill attribution diagnostics."""
         fe = self.config.frontend
         cam0, cam1 = self.config.cam0, self.config.cam1
         disparity = jnp.abs(cam1_init[:, 1] - cam1_pts[:, 1])
 
-        inliers = (
-            active
-            & (back_err < fe.stereo_backward_err_px)
-            & (disparity < fe.stereo_disparity_max_px)
-            & self._in_bounds(cam1_pts)
-        )
+        ok_back = back_err < fe.stereo_backward_err_px
+        ok_disp = disparity < fe.stereo_disparity_max_px
+        ok_bounds = self._in_bounds(cam1_pts)
 
         # Epipolar gate with the known essential matrix (image.py:609-636).
         p0n = undistort_points(
@@ -181,9 +181,11 @@ class StereoTracker:
         dot = jnp.sum(jnp.concatenate([p1n, ones], axis=1) * line, axis=1)
         line_norm = jnp.linalg.norm(line[:, 0:2], axis=1)
         epi_err = jnp.abs(dot) / jnp.maximum(line_norm, 1e-9)
-        return inliers & (
-            epi_err <= fe.stereo_threshold * self.norm_pixel_unit
-        )
+        ok_epi = epi_err <= fe.stereo_threshold * self.norm_pixel_unit
+
+        gates = dict(back=ok_back, disparity=ok_disp, bounds=ok_bounds,
+                     epipolar=ok_epi)
+        return active & ok_back & ok_disp & ok_bounds & ok_epi, gates
 
     @staticmethod
     def _rank_in_cell(codes, priority, entry_valid, n_cells):
@@ -269,7 +271,14 @@ class StereoTracker:
         # fwd-bwd or stereo gate below still suppresses re-detection near
         # itself for one frame (documented divergence from image.py:326-330,
         # which masks post-stereo-match features only).
-        score = fast_score_map(pyr0_2d[0], fe.fast_threshold)
+        use_pallas = fe.fast_backend == "pallas" or (
+            fe.fast_backend == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from vio_msckf_tpu.ops.fast_pallas import fast_score_map_pallas
+            score = fast_score_map_pallas(pyr0_2d[0], fe.fast_threshold)
+        else:
+            score = fast_score_map(pyr0_2d[0], fe.fast_threshold)
         Hh, Ww = score.shape
         ix = jnp.clip(tracked_pts[:, 0].astype(jnp.int32), 0, Ww - 1)
         iy = jnp.clip(tracked_pts[:, 1].astype(jnp.int32), 0, Hh - 1)
@@ -319,7 +328,7 @@ class StereoTracker:
 
         sm_back_err = jnp.linalg.norm(sb_pts - sm_pts, axis=1)
         sm_back_err = jnp.where(sb_st, sm_back_err, jnp.inf)
-        sm_match = self._stereo_gates(
+        sm_match, sm_gates = self._stereo_gates(
             sm_pts, sm_cam1, cam1_init, sm_back_err,
             sm_active & st_fwd,
         )
@@ -396,5 +405,30 @@ class StereoTracker:
             cam1.distortion_coeffs,
         )
         obs = jnp.concatenate([und0, und1], axis=1)
-        msg = dict(feat_ids=ids, feat_obs=obs, feat_valid=valid_new)
+
+        # --- per-gate kill attribution (cascade order: LK converge ->
+        #     backward -> disparity -> bounds -> epipolar), over every
+        #     point that reached the stereo stage. Cheap scalars for
+        #     observability on hostile inputs; popped off the message by
+        #     the engine before the filter sees it. ---
+        def count(m):
+            return jnp.sum(m).astype(jnp.int32)
+
+        reached = sm_active
+        alive = reached & st_fwd
+        diag_kill = {"kill_lk": count(reached & ~st_fwd)}
+        for name in ("back", "disparity", "bounds", "epipolar"):
+            ok = sm_gates[name]
+            diag_kill[f"kill_{name}"] = count(alive & ~ok)
+            alive = alive & ok
+        diag = dict(
+            n_prev=count(ts.valid & ts.has_prev),
+            kill_fwdbwd=count(survived0 & ~fb_ok),
+            n_survived=count(survived),
+            n_births=count(keep_c),
+            **diag_kill,
+        )
+
+        msg = dict(feat_ids=ids, feat_obs=obs, feat_valid=valid_new,
+                   diag=diag)
         return new_state, msg
