@@ -235,6 +235,12 @@ class StereoTracker:
         T = fe.max_tracks
         cam0, cam1 = cfg.cam0, cfg.cam1
 
+        # Accept uint8 frames: the dataset path ships decoded PNGs to the
+        # device as uint8 (4x less host->device traffic — the tunnel's
+        # bandwidth, not the chip, bounds the --path flow) and casts here.
+        cam0_img = cam0_img.astype(jnp.float32)
+        cam1_img = cam1_img.astype(jnp.float32)
+
         pyr0_2d = build_pyramid(cam0_img, lv)
         pyr0 = prepare_pyramid(pyr0_2d)
         pyr1 = prepare_pyramid(build_pyramid(cam1_img, lv))

@@ -9,11 +9,14 @@ uses), built once per frame and shared by the temporal and stereo trackers.
 
 import jax.numpy as jnp
 
-_KERNEL = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# Plain floats, converted inside the traced function: a module-level
+# jnp.asarray would initialize the XLA backend at import time, which
+# breaks jax.distributed.initialize (it must run before ANY backend use).
+_KERNEL = tuple(v / 16.0 for v in (1.0, 4.0, 6.0, 4.0, 1.0))
 
 
 def _blur_axis(img, axis):
-    k = _KERNEL.astype(img.dtype)
+    k = jnp.asarray(_KERNEL, img.dtype)
     pad = [(0, 0)] * img.ndim
     pad[axis] = (2, 2)
     x = jnp.pad(img, pad, mode="edge")

@@ -128,7 +128,7 @@ def tiny_config():
         filter=cfg.filter.__class__(
             max_cam_state_size=6,
             max_features=32,
-            imu_per_frame=8,
+            imu_per_frame=16,  # >= 10 real samples/frame at 200/20 Hz
         ),
         frontend=cfg.frontend.__class__(
             grid_row=2, grid_col=2, max_tracks=16,
