@@ -305,6 +305,19 @@ class StereoTracker:
         cand_xy = cand_xy.reshape(C, 2)
         cand_resp = cand_resp.reshape(C)
         cand_valid = cand_valid.reshape(C)
+        # Pad the candidate block to a sublane multiple: point counts that
+        # are not multiples of 8 force XLA into slow layouts for the whole
+        # LK pipeline — measured 3.30 -> 2.85 ms/frame unvmapped and
+        # 7.06 -> 2.99 under vmap for P=228 vs 232
+        # (scripts/profile_vmap_tracker.py). T=128 keeps T+C_pad and the
+        # verify stack (2T+C_pad) aligned too.
+        C_pad = -(-C // 8) * 8
+        if C_pad != C:
+            pad = C_pad - C
+            cand_xy = jnp.pad(cand_xy, ((0, pad), (0, 0)))
+            cand_resp = jnp.pad(cand_resp, (0, pad))
+            cand_valid = jnp.pad(cand_valid, (0, pad))
+            C = C_pad
 
         # --- stereo matching: survivors + candidates in ONE batched pass
         #     (image.py:279-288 and image.py:354 ran two) ---

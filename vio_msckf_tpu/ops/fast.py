@@ -75,6 +75,23 @@ def fast_score_map(img, threshold):
     return jnp.where(is_max & corner & inside, score, 0.0)
 
 
+def _topk_iterative(cells, k):
+    """Top-k by k rounds of (max, argmax, erase) — no lax.top_k, no
+    gathers. For small k this matches lax.top_k (first-index tie rule)
+    and, unlike top_k, lowers to plain VPU reductions that stay fast
+    under vmap (batched top_k cost ~7x the unbatched form on TPU,
+    measured in scripts/profile_vmap_tracker.py)."""
+    col = jnp.arange(cells.shape[-1])
+    cur = cells
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.max(cur, axis=-1))
+        idxs.append(i)
+        cur = jnp.where(col == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def detect_grid_features(score, mask, grid_row, grid_col, per_cell):
     """Top-`per_cell` responses per grid cell.
@@ -97,7 +114,7 @@ def detect_grid_features(score, mask, grid_row, grid_col, per_cell):
     cells = cells.transpose(0, 2, 1, 3).reshape(
         grid_row * grid_col, cell_h * cell_w
     )
-    resp, idx = jax.lax.top_k(cells, per_cell)
+    resp, idx = _topk_iterative(cells, per_cell)
     iy = idx // cell_w
     ix = idx % cell_w
     gr = jnp.arange(grid_row * grid_col)

@@ -88,13 +88,53 @@ def prepare_pyramid(pyr):
     return FlatPyramid(flats, metas)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _make_row_gather(nb, ny):
+    """Row-gather kernel for a fixed (nb, ny) with a CUSTOM VMAP RULE:
+    batching folds the batch dimension into the ROW dimension (the
+    lane-row layout already addresses stacked images by row offset, see
+    lk_verify's y_base), so vmapped callers run the exact same
+    full-minor-dim gather that is fast unbatched. XLA's generic batched
+    gather lowering costs ~2.4x (measured in
+    scripts/profile_vmap_tracker.py: the tracker's vmap(B=1) penalty was
+    14.6 vs 5.9 ms/frame, most of it here and in top_k)."""
+
+    @jax.custom_batching.custom_vmap
+    def gather(flat, y0, b0):
+        P = y0.shape[0]
+        rows = (y0[:, None] + jnp.arange(ny))[:, :, None] * nb \
+            + (b0[:, None, None] + jnp.arange(2))
+        return flat[rows].reshape(P, ny, 256)
+
+    @gather.def_vmap
+    def _rule(axis_size, in_batched, flat, y0, b0):
+        fb, yb, bb = in_batched
+        B = axis_size
+        y0b = y0 if yb else jnp.broadcast_to(y0, (B,) + y0.shape)
+        b0b = b0 if bb else jnp.broadcast_to(b0, (B,) + b0.shape)
+        if fb:
+            RR = flat.shape[1]
+            flat2 = flat.reshape(B * RR, flat.shape[2])
+            y0b = y0b + (
+                jnp.arange(B, dtype=y0b.dtype) * (RR // nb)
+            )[:, None]
+        else:
+            flat2 = flat
+        P = y0b.shape[1]
+        out = gather(flat2, y0b.reshape(B * P), b0b.reshape(B * P))
+        return out.reshape(B, P, ny, 256), True
+
+    return gather
+
+
 def _gather_rows(flat, nb, y0, b0, ny):
     """(P, ny, 256) patches: rows y0..y0+ny of lane blocks b0, b0+1.
-    y0/b0 (P,) int32 in padded coordinates. One full-minor-dim gather."""
-    P = y0.shape[0]
-    rows = (y0[:, None] + jnp.arange(ny))[:, :, None] * nb \
-        + (b0[:, None, None] + jnp.arange(2))
-    return flat[rows].reshape(P, ny, 256)
+    y0/b0 (P,) int32 in padded coordinates. One full-minor-dim gather
+    (vmap folds the batch into rows — see _make_row_gather)."""
+    return _make_row_gather(int(nb), int(ny))(flat, y0, b0)
 
 
 def _interp_matrix(offset, n_out, size, dtype):
