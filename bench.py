@@ -103,7 +103,7 @@ def run_single(cfg, name, sim_overrides=None, reps=3, check_ate=True,
     import jax
     import jax.numpy as jnp
     from vio_msckf_tpu.engine import VIOEngine
-    from vio_msckf_tpu.utils.metrics import ate_rmse
+    from vio_msckf_tpu.utils.metrics import ate_rmse, rpe_rmse
 
     device_frames, init, gt, n = build_workload(
         cfg, sim_overrides, render_augs=render_augs)
@@ -118,7 +118,9 @@ def run_single(cfg, name, sim_overrides=None, reps=3, check_ate=True,
     log(f"[{name}] compile+first run: {time.time()-t0:.1f}s")
 
     ate = ate_rmse(np.asarray(outs.p), gt, align=False)
-    log(f"[{name}] ATE RMSE (unaligned, synthetic): {ate:.4f} m")
+    rpe = rpe_rmse(np.asarray(outs.p), gt)
+    log(f"[{name}] ATE RMSE (unaligned, synthetic): {ate:.4f} m  "
+        f"RPE RMSE (20-frame delta): {rpe:.4f} m")
     if check_ate and (not np.isfinite(ate) or ate > ATE_BOUND_M):
         log(f"FAIL: ATE {ate:.4f} m exceeds the {ATE_BOUND_M} m bound — "
             "filter diverged; not reporting throughput.")
@@ -141,6 +143,7 @@ def run_single(cfg, name, sim_overrides=None, reps=3, check_ate=True,
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "ate_rmse_m": round(float(ate), 4),
+        "rpe_rmse_m": round(float(rpe), 4),
     }
 
 
@@ -151,7 +154,7 @@ def run_batched(cfg, name, batch, reps=3):
     import jax
     import jax.numpy as jnp
     from vio_msckf_tpu.engine import VIOEngine
-    from vio_msckf_tpu.utils.metrics import ate_rmse
+    from vio_msckf_tpu.utils.metrics import ate_rmse, rpe_rmse
 
     eng = VIOEngine(cfg)
     frames_list, carries, gts = [], [], []
@@ -174,6 +177,9 @@ def run_batched(cfg, name, batch, reps=3):
     ates = [
         ate_rmse(np.asarray(outs.p[b]), gts[b], align=False)
         for b in range(batch)
+    ]
+    rpes = [
+        rpe_rmse(np.asarray(outs.p[b]), gts[b]) for b in range(batch)
     ]
     log(f"[{name}] per-sequence ATE: "
         + ", ".join(f"{a:.3f}" for a in ates))
@@ -198,6 +204,7 @@ def run_batched(cfg, name, batch, reps=3):
         "unit": "frames/s (aggregate)",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "ate_rmse_m": round(float(max(ates)), 4),
+        "rpe_rmse_m": round(float(max(rpes)), 4),
     }
 
 

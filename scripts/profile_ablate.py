@@ -103,7 +103,7 @@ def main():
                         frame["feat_valid"], cur_slot=state.n_clones - 1)
                     state = state.replace(tracking_rate=tr)
                 if "lost" in stages:
-                    state, fmap = M.remove_lost_features(state, fmap, params)
+                    state, fmap, _ = M.remove_lost_features(state, fmap, params)
                 if "prune" in stages:
                     state, fmap = maybe_prune(state, fmap, params)
             return (state, fmap), state.p

@@ -118,8 +118,10 @@ def main():
     for B in (1, 4):
         bs = list(range(B))
         frames_eng = {k: v for k, v in stack(bs).items() if k in eng_keys}
-        run = jax.jit(jax.vmap(eng.run_sequence) if B > 1 or True
-                      else eng.run_sequence)
+        # Always vmap (even at B=1) so the rows are apples-to-apples:
+        # the vmap(B=1) penalty is measured separately by
+        # scripts/profile_vmap_tracker.py.
+        run = jax.jit(jax.vmap(eng.run_sequence))
         timed(run, eng_carry(bs), frames_eng, n, B, "full engine (vmap)")
 
         frames_kf = {k: v for k, v in stack(bs).items() if k in kf_keys}

@@ -77,3 +77,36 @@ def test_euroc_reader_matches_sim(euroc_dir):
     img = seq.load_image(0, cam=0)
     W, H = euroc_config().cam0.resolution
     assert img.shape == (H, W)
+
+def test_eskf_euroc_path_end_to_end(euroc_dir, tmp_path, capsys):
+    """The ESKF pipeline's dataset `--path` branch (cli.run_eskf, the
+    reference's ESKF/eskf_vio.py:94-166 flow): CSV/PNG ingestion, gravity
+    seed from the first IMU sample, the per-frame jitted ESKF step, the
+    inlier log lines, ATE print, and the state/covariance trace plots
+    (VERDICT r4 item 7 — this branch previously had no test)."""
+    from vio_msckf_tpu import cli
+    from vio_msckf_tpu.utils.logging import get_logger
+
+    prefix = str(tmp_path / "eskf_run")
+    parser = cli.build_parser()
+    args = parser.parse_args(
+        ["--path", euroc_dir, "--pipeline", "eskf", "--offset", "0",
+         "--max-frames", "16", "--out", prefix]
+    )
+    rc = cli.run_eskf(args, get_logger("test.eskf_euroc"))
+    assert rc == 0
+
+    # Trace plots written (the reference's matplotlib output,
+    # eskf_vio.py:187-259).
+    assert os.path.exists(prefix + "_states.png")
+    assert os.path.exists(prefix + "_cov_trace.png")
+
+    # The printed ATE line exists and is finite/sane: the sequence start
+    # is near-static, so the loosely-coupled filter should stay well
+    # under a meter over 16 frames.
+    printed = capsys.readouterr().out
+    ate_lines = [l for l in printed.splitlines()
+                 if l.startswith("eskf_ate_rmse_m")]
+    assert ate_lines, printed
+    ate = float(ate_lines[-1].split()[1])
+    assert np.isfinite(ate) and ate < 1.0, ate

@@ -381,3 +381,95 @@ def test_full_update_matches_oracle_geometric(cfg, params, rng):
     np.testing.assert_allclose(dp, dx_ref[12:15], atol=1e-4)
     dv = np.asarray(new_state.v, float) - np.asarray(state.v, float)
     np.testing.assert_allclose(dv, dx_ref[6:9], atol=1e-4)
+
+def test_stack_buffer_holds_worst_case_blocks(cfg, params, rng):
+    """Regression (r5): the include rule budgets PROJECTED rows (4n-3) but
+    the buffer stores RAW 4-row blocks (n per feature), so at the exact
+    worst case (full candidate buffer x full clone windows) the admitted
+    blocks exceed max_update_rows/4 by 3/4 per feature. With the old
+    budget (rows//4 + N = 395 blocks) 5 of the 400 admitted blocks were
+    silently scatter-dropped; the corrected budget must hold them all."""
+    n_clones = cfg.filter.max_cam_state_size        # 20: full window
+    state = make_state(cfg, params, rng, n_clones=n_clones)
+    N = n_clones
+    F = cfg.filter.max_lost_candidates              # 64: full buffer
+
+    # All clones near-identity so every clone sees every landmark (the
+    # worst case needs every observation to survive the chi-square gate).
+    cq = np.tile([0.0, 0.0, 0.0, 1.0], (N, 1))
+    cq[:, :3] += rng.normal(size=(N, 3)) * 0.01
+    cq /= np.linalg.norm(cq, axis=1, keepdims=True)
+    cp = rng.normal(size=(N, 3)) * 0.2
+    state = state.replace(
+        clone_q=jnp.asarray(cq, jnp.float32),
+        clone_p=jnp.asarray(cp, jnp.float32),
+        clone_q_null=jnp.asarray(cq, jnp.float32),
+        clone_p_null=jnp.asarray(cp, jnp.float32),
+    )
+
+    R_c0c1 = np.asarray(params.R_cam0_cam1, float)
+    t_c0c1 = np.asarray(params.t_cam0_cam1, float)
+
+    from oracle_msckf import jpl_to_rot
+    obs = np.zeros((F, N, 4))
+    obs_valid = np.zeros((F, N), bool)
+    positions = np.zeros((F, 3))
+    for f in range(F):
+        R0 = jpl_to_rot(cq[0])
+        p_w = cp[0] + R0.T @ (
+            rng.normal(size=3) * 0.3 + np.array([0, 0, 6.0]))
+        positions[f] = p_w
+        for i in range(n_clones):
+            Rw0 = jpl_to_rot(cq[i])
+            pc0 = Rw0 @ (p_w - cp[i])
+            Rw1 = R_c0c1 @ Rw0
+            tc1 = cp[i] - Rw1.T @ t_c0c1
+            pc1 = Rw1 @ (p_w - tc1)
+            z = np.array([
+                pc0[0] / max(pc0[2], 0.1), pc0[1] / max(pc0[2], 0.1),
+                pc1[0] / max(pc1[2], 0.1), pc1[1] / max(pc1[2], 0.1),
+            ]) + rng.normal(size=4) * 1e-4
+            obs[f, i] = z
+            obs_valid[f, i] = True
+
+    n_obs = obs_valid.sum(axis=1)
+    slots = jnp.tile(jnp.arange(
+        cfg.filter.max_cam_state_size, dtype=jnp.int32)[None, :], (F, 1))
+    Hc, rc, include = stack_update(
+        state, params,
+        positions=jnp.asarray(positions, jnp.float32),
+        obs=jnp.asarray(obs, jnp.float32),
+        use_masks=jnp.asarray(obs_valid),
+        clone_slots=slots,
+        process_mask=jnp.ones(F, bool),
+        dofs=jnp.asarray(np.maximum(n_obs - 1, 1), jnp.int32),
+    )
+    include = np.asarray(include)
+    expected_blocks = int((obs_valid.sum(axis=1) * include).sum())
+    # We must actually be in the >395-block regime for this to regress.
+    assert expected_blocks > cfg.filter.max_update_rows // 4 + n_clones, \
+        f"worst case not reached: {expected_blocks} blocks, " \
+        f"{int(include.sum())} features included"
+    Hc_np = np.asarray(Hc).reshape(-1, 4, Hc.shape[1])
+    nonzero_blocks = int((np.abs(Hc_np) > 0).any(axis=(1, 2)).sum())
+    assert nonzero_blocks == expected_blocks, (
+        f"{expected_blocks - nonzero_blocks} admitted blocks dropped "
+        f"({nonzero_blocks}/{expected_blocks})")
+
+def test_solve3_sym_matches_lapack(rng):
+    """The closed-form adjugate 3x3 solve that replaced the batched LU
+    custom call (r5 profile: 280 ms/run) must match LAPACK to f32 noise
+    on LM-shaped (PSD + damping) systems across conditioning scales."""
+    from vio_msckf_tpu.filter.triangulation import _solve3_sym
+
+    for lam in (1e-10, 1e-3, 1.0, 1e6):
+        for _ in range(20):
+            J = rng.normal(size=(6, 3))
+            A = J.T @ J + lam * np.eye(3)
+            b = rng.normal(size=3)
+            want = np.linalg.solve(A, b)
+            got = np.asarray(_solve3_sym(
+                jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)))
+            np.testing.assert_allclose(
+                got, want, rtol=2e-3,
+                atol=2e-3 * max(1.0, np.abs(want).max()))

@@ -43,11 +43,15 @@ def _make_batch(cfg, seeds):
     return carry_b, frames_b, n_min
 
 
-@pytest.mark.parametrize("use_block", [False, True])
-def test_sharded_step_matches_single_device(use_block):
+@pytest.mark.parametrize("use_block,n_block", [
+    (False, 1),
+    (True, 2),   # butterfly TSQR: single exchange round
+    (True, 4),   # butterfly TSQR: two recursive-doubling rounds
+])
+def test_sharded_step_matches_single_device(use_block, n_block):
     assert len(jax.devices()) >= 8
     cfg = euroc_config()
-    mesh = make_mesh(n_replica=2, n_block=2 if use_block else 1)
+    mesh = make_mesh(n_replica=2, n_block=n_block)
     step, kf = make_multichip_filter_step(cfg, mesh, use_block=use_block)
 
     carry_b, frames_b, n = _make_batch(cfg, seeds=[1, 2])

@@ -115,7 +115,7 @@ def run_msckf_euroc(args, log):
     from vio_msckf_tpu.engine import VIOEngine
     from vio_msckf_tpu.data.euroc import EuRoCSequence, bundle_euroc_frames
     from vio_msckf_tpu.runtime import native_loader
-    from vio_msckf_tpu.utils.metrics import ate_rmse
+    from vio_msckf_tpu.utils.metrics import ate_rmse, rpe_rmse
     from vio_msckf_tpu.utils.checkpoint import save_checkpoint, \
         load_checkpoint
     from vio_msckf_tpu.utils.logging import StageTimer, maybe_profile
@@ -168,6 +168,11 @@ def run_msckf_euroc(args, log):
     # MSCKF/dataset.py:226-271). Real-time replay (--ratio) and the live
     # viewer step per frame by their nature.
     chunked = args.ratio <= 0 and viewer is None
+    if args.preload and not chunked:
+        log.warning(
+            "--preload is ignored with --ratio > 0 or --view (those modes "
+            "step per frame by their nature)"
+        )
     if chunked and args.preload:
         # Whole-sequence staging: decode everything, ONE H2D, ONE scan
         # dispatch, ONE fetch. On production hardware (PCIe/ICI host) the
@@ -197,9 +202,15 @@ def run_msckf_euroc(args, log):
         carry, couts = run_all(carry0_pre, dev)
         jax.block_until_ready(couts.p)
         t_compute = time.time() - t0
-        p_c, q_c, v_c = jax.device_get((couts.p, couts.q, couts.v))
+        p_c, q_c, v_c, ovf_c = jax.device_get(
+            (couts.p, couts.q, couts.v, couts.lost_overflow))
         outs = [(p_c[j], q_c[j], v_c[j]) for j in range(n - start_k)]
         n_done = n - start_k
+        if int(np.sum(ovf_c)):
+            log.warning(
+                "lost-candidate overflow: %d feature updates discarded "
+                "(raise FilterConfig.max_lost_candidates)",
+                int(np.sum(ovf_c)))
         log.info("preload: decode+H2D %.1fs, compute %.1fs (%.1f fps)",
                  t_load, t_compute, n_done / t_compute)
         print(f"dataset_fps_compute {n_done / t_compute:.2f}")
@@ -217,11 +228,16 @@ def run_msckf_euroc(args, log):
         gt = seq.gt_aligned_positions(times)
         if gt is not None:
             ate = ate_rmse(positions, gt, align=True)
-            log.info("ATE RMSE (SE3-aligned): %.4f m", ate)
+            rpe = rpe_rmse(positions, gt)
+            log.info("ATE RMSE (SE3-aligned): %.4f m  RPE RMSE (20-frame "
+                     "delta): %.4f m", ate, rpe)
             print(f"ate_rmse_m {ate:.4f}")
+            print(f"rpe_rmse_m {rpe:.4f}")
         return 0
 
-    CHUNK = min(args.chunk, max(n - start_k, 1))
+    # Clamp: a --chunk of 0/negative would divide by zero below, and a
+    # chunk larger than the remaining frames just wastes compile shapes.
+    CHUNK = max(1, min(args.chunk, max(n - start_k, 1)))
     # No carry donation here: eng.init() carries may alias buffers (e.g.
     # zero-filled leaves), and donating the same buffer twice is a runtime
     # error; the carry is ~1 MB, donation buys nothing.
@@ -250,6 +266,7 @@ def run_msckf_euroc(args, log):
     with maybe_profile(args.profile):
         k = start_k
         device_outs = []  # (p, q, v) device arrays; ONE fetch at the end
+        overflow_dev = []  # per-chunk lost-candidate overflow counters
         if chunked:
             n_chunks = (n - start_k) // CHUNK
             if n_chunks > 0:
@@ -258,6 +275,7 @@ def run_msckf_euroc(args, log):
             for ci in range(n_chunks):
                 with timer.stage("dispatch"):
                     carry, couts = run_chunk(carry, dev)  # async dispatch
+                overflow_dev.append(couts.lost_overflow)
                 # Decode + upload the NEXT chunk while this one computes;
                 # outputs stay ON DEVICE (every device->host fetch is a
                 # full tunnel round trip that would serialize the pipe).
@@ -298,9 +316,15 @@ def run_msckf_euroc(args, log):
             k = n
             with timer.stage("fetch"):
                 fetched = jax.device_get(device_outs)
+                n_overflow = int(np.sum(jax.device_get(overflow_dev))) \
+                    if overflow_dev else 0
             for p_c, q_c, v_c in fetched:
                 for j in range(len(p_c)):
                     outs.append((p_c[j], q_c[j], v_c[j]))
+            if n_overflow:
+                log.warning(
+                    "lost-candidate overflow: %d feature updates discarded "
+                    "(raise FilterConfig.max_lost_candidates)", n_overflow)
         # Per-frame path: replay/viewer mode.
         for k in range(k, n):
             with timer.stage("load"):
@@ -361,8 +385,11 @@ def run_msckf_euroc(args, log):
     gt = seq.gt_aligned_positions(times)
     if gt is not None:
         ate = ate_rmse(positions, gt, align=True)
-        log.info("ATE RMSE (SE3-aligned): %.4f m", ate)
+        rpe = rpe_rmse(positions, gt)
+        log.info("ATE RMSE (SE3-aligned): %.4f m  RPE RMSE (20-frame "
+                 "delta): %.4f m", ate, rpe)
         print(f"ate_rmse_m {ate:.4f}")
+        print(f"rpe_rmse_m {rpe:.4f}")
     return 0
 
 

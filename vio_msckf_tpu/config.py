@@ -63,6 +63,10 @@ class FrontendConfig:
     # (ops/fast_pallas.py, TPU only), "xla" = dense jnp version
     # (ops/fast.py), "auto" = pallas on TPU, xla elsewhere.
     fast_backend: str = "auto"
+    # Pyramidal-LK level backend: "pallas" = fused VMEM Newton-loop kernel
+    # with per-block early exit (ops/klt_pallas.py, TPU only), "xla" =
+    # the lane-row implementation in ops/klt.py, "auto" = pallas on TPU.
+    lk_backend: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -110,7 +114,17 @@ class FilterConfig:
     # beyond this are dropped from the update (still cleared from the
     # map) — same information-only loss as the reference's 1500-row cap,
     # which admits at most ~125 (and typically ~19) features anyway.
-    max_lost_candidates: int = 64
+    # 128 (r5, was 64): a hostile-world occluder sweep measurably killed
+    # 72 tracks in one frame and overflowed the old budget
+    # (FilterOutput.lost_overflow fired); 128 matches the reference's
+    # effective cap and covers everything short of near-total track loss,
+    # which the online reset handles instead.
+    max_lost_candidates: int = 128
+    # Chi-square-gate SPD solve: "pallas" = batched Gauss-Jordan kernel
+    # (ops/spd_pallas.py; the r5 profile measured the batched Cholesky
+    # custom call at ~20 GFLOP/s), "cholesky" = jax.scipy cho_solve,
+    # "auto" = pallas on TPU.
+    gamma_solver: str = "auto"
     # Padded IMU samples per frame bundle: ~10 real at 200 Hz IMU / 20 Hz
     # camera, sized with headroom so a dropped camera frame (~20 pending
     # samples) still fits in one bundle instead of deferring to the next

@@ -49,6 +49,11 @@ class FilterOutput:
     cam0_p: jnp.ndarray     # (3,) cam0 position in world
     position_std: jnp.ndarray  # (3,) sqrt of position covariance diagonal
     did_reset: jnp.ndarray  # () bool online reset fired this frame
+    lost_overflow: jnp.ndarray  # () int32 lost candidates beyond the
+    #    compaction budget this frame: their update information was
+    #    discarded (the analog of rows silently over the reference's
+    #    1500-row cap, msckf.py:676-679) — should stay 0; see
+    #    FilterConfig.max_lost_candidates
 
 
 def initialize_gravity_and_bias(imu_gyro, imu_acc, gravity_acc=9.81):
@@ -109,12 +114,17 @@ def remove_lost_features(state, fmap, params, axis_name=None):
     candidates = lost & ~drop_few
 
     C = min(cfg.filter.max_lost_candidates, F)
+    n_candidates = jnp.sum(candidates)
+    # Candidates beyond the C-slot buffer silently lose their update
+    # information (they are still cleared from the map); surface the count
+    # so callers/tests can see it happen (VERDICT r4 item 5).
+    overflow = jnp.maximum(n_candidates - C, 0).astype(jnp.int32)
     order = jnp.cumsum(candidates) - 1
     dest = jnp.where(candidates & (order < C), order, C)
     idx = jnp.zeros((C,), jnp.int32).at[dest].set(
         jnp.arange(F, dtype=jnp.int32), mode="drop"
     )
-    sel_valid = jnp.arange(C) < jnp.minimum(jnp.sum(candidates), C)
+    sel_valid = jnp.arange(C) < jnp.minimum(n_candidates, C)
 
     obs_c = fmap.obs[idx]
     ov_c = fmap.obs_valid[idx] & sel_valid[:, None]
@@ -159,7 +169,7 @@ def remove_lost_features(state, fmap, params, axis_name=None):
 
     # Every lost feature leaves the map (msckf.py:648-650, 687-689).
     fmap = clear_features(fmap, lost)
-    return state, fmap
+    return state, fmap, overflow
 
 
 def online_reset(state, fmap, params):
@@ -232,6 +242,7 @@ def publish(state):
         cam0_p=cam0_p,
         position_std=jnp.sqrt(jnp.maximum(pos_var, 0.0)),
         did_reset=jnp.asarray(False),
+        lost_overflow=jnp.zeros((), jnp.int32),
     )
 
 
@@ -311,7 +322,7 @@ class MSCKF:
         )
         state = state.replace(tracking_rate=tracking_rate)
 
-        state, fmap = remove_lost_features(
+        state, fmap, lost_overflow = remove_lost_features(
             state, fmap, params, axis_name=self.block_axis
         )
         state, fmap = maybe_prune(
@@ -320,7 +331,7 @@ class MSCKF:
 
         out = publish(state)
         state, fmap, did_reset = online_reset(state, fmap, params)
-        out = out.replace(did_reset=did_reset)
+        out = out.replace(did_reset=did_reset, lost_overflow=lost_overflow)
         return (state, fmap), out
 
     def run_sequence(self, carry, frames):

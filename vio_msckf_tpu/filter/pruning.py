@@ -153,6 +153,11 @@ def prune_clones(
         process_mask=process,
         dofs=n_involved,       # dof = #involved clones (msckf.py:789)
         axis_name=axis_name,
+        # Each feature contributes at most the 2 removed clones' blocks,
+        # so the stack is structurally bounded by 2F blocks (8F rows) —
+        # no need for the lost path's full 1500-row buffer; the QR below
+        # shrinks accordingly (VERDICT r4 item 4).
+        max_blocks=2 * F,
     )
     state = tsqr_reduce_update(state, Hc, rc, params, axis_name=axis_name)
 

