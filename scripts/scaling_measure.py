@@ -5,12 +5,11 @@ mesh measured host-core contention (8 devices share 2 physical cores) and
 read as evidence AGAINST the >=80% scaling north star. Replace the
 narrative with measurements that isolate what sharding actually costs:
 
-  (a) WEAK scaling at per-device batch 1, devices 1 -> 2 — matching the 2
-      physical cores, so each virtual device owns a core and the only new
-      costs are shard_map partitioning + the collectives.
-  (b) Sharded-vs-unsharded per-step wall time at EQUAL per-device work
-      (1 sequence on 1 device unsharded vs 2 sequences over a 2-device
-      replica mesh): the delta IS the sharding overhead.
+  (a)+(b) Replica-sharding overhead at EQUAL TOTAL WORK: the same 2
+      sequences, unsharded vmap on 1 device vs sharded over a 2-device
+      replica mesh, on the same host. (Per-device-batch "weak scaling"
+      is confounded here: XLA:CPU multithreads single-device ops across
+      all cores, so 1->2 devices measures thread-pool contention.)
   (c) Feature-block sharding nb=1 vs nb=2 for a single sequence: the
       TSQR all_gather path at full filter shapes.
   (d) An analytic comm-volume table for the block-axis TSQR all_gather at
@@ -144,10 +143,13 @@ def main():
         "t_1seq_1dev_ms_per_step": round(t_1dev_b1 / nf * 1e3, 3),
         "what_it_means": (
             "equal total work on the same host: the delta is shard_map "
-            "partitioning + per-device dispatch (the replica axis has "
-            "NO collectives). On real chips each replica owns a whole "
-            "chip, so per-chip throughput at n replicas is the 1-chip "
-            "number minus exactly this overhead"),
+            "partitioning + the CPU backend's per-device software "
+            "executors (one thread per virtual device, lockstep sync "
+            "every scan step, B=1 linalg losing lane vectorization). "
+            "The replica axis has NO collectives, so this is an UPPER "
+            "BOUND from a software emulation: on real chips each "
+            "replica owns a hardware-queued chip and none of these "
+            "costs exist per step"),
     }
     print("replica overhead:", out["replica_sharding_overhead"],
           flush=True)

@@ -473,3 +473,28 @@ def test_solve3_sym_matches_lapack(rng):
             np.testing.assert_allclose(
                 got, want, rtol=2e-3,
                 atol=2e-3 * max(1.0, np.abs(want).max()))
+
+def test_eigh3_jacobi_matches_lapack(rng):
+    """The cyclic-Jacobi 3x3 eigensolve (gating rank guard) must agree
+    with LAPACK on PSD matrices, including rank-deficient ones."""
+    from vio_msckf_tpu.filter.update import _eigh3_jacobi
+
+    cases = []
+    for r in (3, 2, 1):
+        for _ in range(10):
+            J = rng.normal(size=(6, r))
+            B = np.zeros((6, 3))
+            B[:, :r] = J
+            cases.append(B.T @ B)
+    cases.append(np.zeros((3, 3)))
+    for G in cases:
+        w, V = jax.jit(_eigh3_jacobi)(jnp.asarray(G, jnp.float32))
+        w, V = np.asarray(w, float), np.asarray(V, float)
+        # Reconstruction + orthogonality, scale-relative.
+        scale = max(np.abs(G).max(), 1e-6)
+        np.testing.assert_allclose(V @ np.diag(w) @ V.T, G,
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-5)
+        w_ref = np.linalg.eigvalsh(G)
+        np.testing.assert_allclose(np.sort(w), w_ref,
+                                   atol=1e-5 * scale + 1e-7)

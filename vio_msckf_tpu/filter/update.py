@@ -155,6 +155,37 @@ def feature_system(p_w, obs_k, use_k, slots_k, state: FilterState,
     return H, Hp, r_full, rp, U
 
 
+def _eigh3_jacobi(G, sweeps=4):
+    """Eigendecomposition of a symmetric 3x3 via cyclic Jacobi rotations.
+
+    Replaces `jnp.linalg.eigh` in the gating rank guard: under the
+    feature vmap eigh lowers to a batched TPU "Eigh" custom call that the
+    r5 profile measured at ~0.25 ms/frame for ~50 lines of arithmetic.
+    Four cyclic sweeps (12 rotations) of closed-form 2x2 rotations are
+    pure fused elementwise ops, converge quadratically, and vmap to
+    nothing special. Returns (w (3,), V (3,3)) with G = V diag(w) V^T;
+    eigenvalues are NOT sorted (callers use max(w), not w[-1]).
+    """
+    dtype = G.dtype
+    A = (G + G.T) / 2.0
+    V = jnp.eye(3, dtype=dtype)
+    for _ in range(sweeps):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            apq = A[p, q]
+            tau = (A[q, q] - A[p, p]) / (2.0 * jnp.where(
+                jnp.abs(apq) > _SAFE, apq, 1.0))
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(jnp.abs(apq) > _SAFE, t, 0.0)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            J = jnp.eye(3, dtype=dtype)
+            J = J.at[p, p].set(c).at[q, q].set(c)
+            J = J.at[p, q].set(s).at[q, p].set(-s)
+            A = J.T @ A @ J
+            V = V @ J
+    return jnp.diagonal(A), V
+
+
 def feature_gamma(H, rp, U, P, obs_noise, solver="cholesky"):
     """Exact chi-square statistic of the projected system (msckf.py:606-609)
     without forming the nullspace complement.
@@ -192,8 +223,8 @@ def feature_gamma(H, rp, U, P, obs_noise, solver="cholesky"):
     # is conservatively too large and the feature is rejected rather than
     # silently leaning on a regularizer. G is PSD, so gamma >= 0 holds
     # mode-by-mode; clamp for f32 roundoff.
-    w, V = jnp.linalg.eigh((G + G.T) / 2.0)
-    keep = w > 1e-6 * jnp.maximum(w[-1], _SAFE)
+    w, V = _eigh3_jacobi(G)
+    keep = w > 1e-6 * jnp.maximum(jnp.max(w), _SAFE)
     winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
     c = V.T @ gu
     correction = c @ (winv * c)

@@ -53,8 +53,9 @@ _BP = 8            # features per program (per-block early exit granularity)
 
 
 def _lk_level_kernel(
-    scal_i_ref,    # scalar-prefetch (P, 2) int32: [nx0, ntx]
-    scal_f_ref,    # (BP, 8) f32: offt_x, offt_y, base_x, base_y, g0_x, g0_y
+    nx0_ref,       # scalar-prefetch (P,) int32 moving-patch lane starts
+    ntx_ref,       # scalar-prefetch (P,) int32 template lane starts
+    scal_f_ref,    # (BP, 8) f32: g0_x, g0_y, offt_x, offt_y, base_x, base_y
     tpl_ref,       # (BP, TY, 256) template wide patches
     mov_ref,       # (BP, NY, 256) moving wide patches
     out_ref,       # (BP, 8) f32: gx, gy, ok, lost, err, iters
@@ -82,10 +83,13 @@ def _lk_level_kernel(
     #     slice instead of the XLA one-hot contraction (Mosaic only
     #     allows 128-aligned dynamic lane slices; tpu.dynamic_rotate has
     #     no such restriction, and the wrap region never reaches the
-    #     first NY lanes because nx0/ntx <= 256 - NY) ------------------
+    #     first NY lanes because nx0/ntx <= 256 - NY). The lane starts
+    #     ride as two 1-D scalar-prefetch arrays: SMEM pads each ROW of a
+    #     2-D operand to a full 512 B lane line, so a (P, 2) layout blew
+    #     SMEM at P = batch*360 under vmap folding. -------------------
     for j in range(BP):
-        nx0 = scal_i_ref[pid * BP + j, 0]
-        ntx = scal_i_ref[pid * BP + j, 1]
+        nx0 = nx0_ref[pid * BP + j]
+        ntx = ntx_ref[pid * BP + j]
         mov48[j] = pltpu.roll(mov_ref[j], (256 - nx0) % 256, 1)[:, :_NY]
         tpl48[j] = pltpu.roll(tpl_ref[j], (256 - ntx) % 256, 1)[:, :_NY]
 
@@ -222,17 +226,17 @@ def _track_level_pallas_flat(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(P // _BP,),
         in_specs=[
-            pl.BlockSpec((_BP, 8), lambda i, si: (i, 0),
+            pl.BlockSpec((_BP, 8), lambda i, s0, s1: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BP, TY, 256), lambda i, si: (i, 0, 0),
+            pl.BlockSpec((_BP, TY, 256), lambda i, s0, s1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BP, _NY, 256), lambda i, si: (i, 0, 0),
+            pl.BlockSpec((_BP, _NY, 256), lambda i, s0, s1: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BP, 8), lambda i, si: (i, 0),
+        out_specs=pl.BlockSpec((_BP, 8), lambda i, s0, s1: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_BP, TY, _NY), dt),
@@ -245,7 +249,7 @@ def _track_level_pallas_flat(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, 8), dt),
         interpret=interpret,
-    )(scal_i, scal_f, tpl, mov)
+    )(scal_i[:, 0], scal_i[:, 1], scal_f, tpl, mov)
 
     guess = out[:, 0:2]
     ok = out[:, 2] > 0.5

@@ -32,8 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_bf(F, m, k):
-    """Features per program: keep the augmented block under ~1.5 MB."""
-    budget = (1.5 * 2 ** 20) / (m * (m + k) * 4)
+    """Features per program: keep the augmented block under ~256 KB.
+    The unrolled elimination holds O(10-20) live copies of the block
+    through Mosaic's scoped stack (measured: a 1.5 MB block hit a ~30 MB
+    scoped-vmem allocation at batch 16), so the block budget must stay
+    well under VMEM/20."""
+    budget = (256 * 2 ** 10) / (m * (m + k) * 4)
     bf = 1
     while bf * 2 <= min(F, budget):
         bf *= 2
