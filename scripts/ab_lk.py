@@ -64,6 +64,12 @@ def main():
 
     combos = [("xla", "cholesky"), ("pallas", "cholesky"),
               ("xla", "pallas"), ("pallas", "pallas")]
+    if len(sys.argv) > 1 and sys.argv[1] == "--fast-only":
+        # Just the production combo — for env-knob experiments like
+        # VIO_LK_PRECISION (set per process; read at kernel trace time).
+        combos = [("pallas", "pallas")]
+        print("VIO_LK_PRECISION =",
+              os.environ.get("VIO_LK_PRECISION", "highest"), flush=True)
     for lk_be, gm_be in combos:
         cfg = cfg0.replace(
             frontend=dataclasses.replace(cfg0.frontend, lk_backend=lk_be),

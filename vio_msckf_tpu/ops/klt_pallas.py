@@ -107,25 +107,35 @@ def _lk_level_kernel(
         pos = off[:, :, None] + ii
         return jnp.maximum(0.0, 1.0 - jnp.abs(pos - grid))
 
+    # MXU pass count for the tent resamples: HIGHEST (6-pass f32, the
+    # default — the Newton updates feed off sub-DN intensity differences
+    # that single bf16 passes would flatten) vs HIGH (3-pass, ~f32-grade
+    # for these magnitudes). Trace-time env knob for A/B experiments
+    # (scripts/ab_lk.py runs per-process, so jit caching is moot).
+    import os as _os
+    _prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[_os.environ.get("VIO_LK_PRECISION", "highest")]
+
     def resample(patch, off_x, off_y, n_out):
         """Separable tent resample of (BP, Sy, Sx) at per-feature float
         offsets -> (BP, n_out, n_out), as two feature-batched MXU
-        contractions (exactly bilinear interpolation). HIGHEST precision:
-        the Newton updates feed off sub-DN intensity differences that
-        bf16 MXU passes would flatten."""
+        contractions (exactly bilinear interpolation)."""
         Sy, Sx = patch.shape[1], patch.shape[2]
         Ay = tents(off_y, n_out, Sy)        # off_* (BP, 1)
         Ax = tents(off_x, n_out, Sx)
         # tmp[b, i, x] = sum_y Ay[b, i, y] patch[b, y, x]
         tmp = jax.lax.dot_general(
             Ay, patch, (((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_prec,
             preferred_element_type=dt,
         )
         # J[b, i, j] = sum_x tmp[b, i, x] Ax[b, j, x]
         return jax.lax.dot_general(
             tmp, Ax, (((2,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_prec,
             preferred_element_type=dt,
         )
 
