@@ -49,7 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD = 16          # must match ops/klt.py
 _MAX_MOVE = 12.0
 _NY = 48           # moving-patch rows AND narrowed lane width
-_BP = 8            # features per program (per-block early exit granularity)
+# Features per program = the per-block early-exit granularity: smaller
+# blocks exit sooner (fewer features share a straggler) but run more,
+# smaller grid programs, and must stay a multiple of 8 (sublane tiling
+# of the (BP, 8) scalar blocks). On-chip A/B (PROFILE_r05.md): BP=16
+# 178.1 fps vs BP=8 176.0 — the batched-MXU efficiency at 16 slightly
+# outweighs the coarser early exit. Env knob for experiments.
+import os as _os
+_BP = int(_os.environ.get("VIO_LK_BP", "16"))
+assert _BP % 8 == 0 and _BP > 0, "VIO_LK_BP must be a positive multiple of 8"
 
 
 def _lk_level_kernel(
