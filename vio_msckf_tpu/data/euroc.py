@@ -130,6 +130,13 @@ def bundle_euroc_frames(seq: EuRoCSequence, config, max_frames=None):
 
     M = config.filter.imu_per_frame
     imu_t, gyro_s, acc_s = seq.imu_stream()
+    if len(imu_t) == 0:
+        raise ValueError(
+            "no IMU samples after the start offset — the sequence is "
+            "shorter than --offset (the reference's 40 s static-start "
+            "skip, vio.py:88, assumes a full-length EuRoC run); pass a "
+            "smaller --offset"
+        )
     n_init = config.filter.init_imu_samples
     q0, bg, gravity = initialize_gravity_and_bias(
         gyro_s[:n_init], acc_s[:n_init]
