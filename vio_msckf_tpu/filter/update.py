@@ -32,6 +32,7 @@ with ``B = H P H^T + s I`` and ``rp = (I - U U^T) r`` — masked padding rows
 contribute exactly zero.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -178,9 +179,19 @@ def _eigh3_jacobi(G, sweeps=4):
             t = jnp.where(jnp.abs(apq) > _SAFE, t, 0.0)
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s = t * c
-            J = jnp.eye(3, dtype=dtype)
-            J = J.at[p, p].set(c).at[q, q].set(c)
-            J = J.at[p, q].set(s).at[q, p].set(-s)
+            # Build the rotation from CONSTANT masks: J = (I - D) + c D
+            # + s S with D = e_p e_p^T + e_q e_q^T, S = e_p e_q^T -
+            # e_q e_p^T. The .at[].set() form this replaces lowered to 4
+            # dynamic-update-slices per rotation under the feature vmap
+            # — ~200 ms/run of tiny DUS ops, 5x the eigh custom call the
+            # Jacobi path was supposed to beat (r5 final profile).
+            D = np.zeros((3, 3), np.float32)
+            D[p, p] = D[q, q] = 1.0
+            S = np.zeros((3, 3), np.float32)
+            S[p, q] = 1.0
+            S[q, p] = -1.0
+            J = (jnp.asarray(np.eye(3, dtype=np.float32) - D, dtype)
+                 + c * jnp.asarray(D, dtype) + s * jnp.asarray(S, dtype))
             A = J.T @ A @ J
             V = V @ J
     return jnp.diagonal(A), V
